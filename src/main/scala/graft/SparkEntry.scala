@@ -1,13 +1,284 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanText
+import graft.gen.TranscriptGen
+import graft.model.CleanConfig
+import graft.run.QualityFilter
+import graft.scrub.Scrubber
+
+/** Driver contract — one `queries` entry per implemented operator family
+  * (SURVEY.md §2), with a DuckDB-equivalent `oracleSql` wherever the
+  * semantics are ANSI-SQL-expressible. Column names are aligned between the
+  * Spark plan and the oracle SQL (the driver's compare is name-sorted).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  // -- helpers -----------------------------------------------------------
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** sf parsed from ".../sfX" → deterministic synthetic transcript scale. */
+  def sfOf(dir: String): Double = {
+    val m = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+    m.map(_.group(1).toDouble).getOrElse(0.001)
+  }
+
+  def synthTurns(s: SparkSession, dir: String) = {
+    val sf = sfOf(dir)
+    val nConvs = math.max(100L, (sf * 100000).toLong)
+    val mega = if (nConvs >= 1000) 5000 else 500
+    TranscriptGen.dataset(s, nConvs, megaTurns = mega)
+  }
+
+  /** Words = \S+ runs after trim; 0 for blank. Same formula is used in the
+    * oracle SQL so the two engines agree including edge cases. */
+  private def wordsExpr(c: org.apache.spark.sql.Column) =
+    when(length(trim(c)) === 0, 0)
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  // -- flagship ----------------------------------------------------------
+
+  /** Flagship: full quality-filter pipeline on sf0.001-scale synthetic
+    * transcripts; driver smoke-checks rows > 0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    QualityFilter(spark, TranscriptGen.dataset(spark, 100, megaTurns = 500))
+
+  // -- queries -----------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 corpus report aggregation (reference :1746-1809)
+    "q01_report_agg" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("total_files"),
+        round(sum(octet_length(col("text"))) / 1048576.0, 6).as("total_mb"),
+        round(avg(octet_length(col("text"))) / 1048576.0, 9).as("avg_mb"),
+        sum(wordsExpr(col("text"))).as("total_words"),
+        round(avg(wordsExpr(col("text"))), 6).as("avg_words")
+      )
+    }),
+
+    // hash aggregation + sort (TPC-H Q1 shape) — decimal sums for
+    // engine-exact results, cast to double at the boundary
+    "q02_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // multi-way equi-join + agg + top-k sort/limit
+    "q03_top_customers" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("rev",
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(java.math.BigDecimal.ONE).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)"))).cast("decimal(28,4)"))
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sum(col("rev")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // broadcast dimension joins (small dims — explicit broadcast hint)
+    "q04_region_supplier" -> ((s, dir) => {
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal").cast("decimal(18,2)")).cast("double"), 2).as("total_bal"))
+        .orderBy("r_name")
+    }),
+
+    // window functions: lag + row_number per user (SURVEY.md §2.4)
+    "q05_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .select("event_id", "user_id", "event_type", "rn", "prev_type")
+    }),
+
+    // exact dedup: representative (min doc_id) per distinct text
+    "q06_dedup_exact" -> ((s, dir) => {
+      docs(s, dir)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select("doc_id", "n_copies")
+    }),
+
+    // left-semi join (EXISTS)
+    "q07_semi_join" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(
+          t(s, dir, "lineitem").filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"),
+          "left_semi")
+        .select("o_orderkey", "o_totalprice")
+    }),
+
+    // left-anti join (NOT EXISTS)
+    "q08_anti_join" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // token counting over documents (text-analysis extension)
+    "q09_token_count" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        wordsExpr(col("text")).as("n_tokens"),
+        length(col("text")).as("n_chars_utf32"),
+        octet_length(col("text")).as("n_bytes")
+      )
+    }),
+
+    // exact-dup fingerprint (md5 content hash per document)
+    "q10_fingerprint" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+    }),
+
+    // PII/toxicity scrub over documents (native ScrubText expression)
+    "q11_scrub_docs" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), Scrubber(col("text")).as("scrubbed"))
+    }),
+
+    // CorpusAid page-artifact clean subset via built-in Catalyst chain
+    "q12_clean_pages" -> ((s, dir) => {
+      val cfg = CleanConfig(removePageNumbers = true, removePageDelimiters = true,
+        removeBibliographicalReferences = true, lowercase = true)
+      docs(s, dir).select(col("doc_id"), CleanText(col("text"), cfg).as("cleaned"))
+    }),
+
+    // langid over documents (broadcast-matrix model) — no SQL oracle;
+    // accuracy asserted against the documents.lang column in ScalaTest
+    "q13_langid" -> ((s, dir) => {
+      val model = s.sparkContext.broadcast(graft.quality.LangId.model)
+      val lid = udf((text: String) =>
+        if (text == null) "und" else model.value.classify(text)._1)
+      docs(s, dir).select(col("doc_id"), lid(col("text")).as("pred_lang"))
+    }),
+
+    // quality scoring stats per document
+    "q14_quality_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        wordsExpr(col("text")).as("n_words"),
+        length(regexp_replace(col("text"), "[^\\p{L}]", "")).as("n_letters"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).as("n_digits")
+      )
+    }),
+
+    // flagship keep/drop over synthetic transcripts (rows-only check;
+    // exactness vs the sequential oracle is asserted in ScalaTest)
+    "q15_keep_drop" -> ((s, dir) => {
+      QualityFilter(s, synthTurns(s, dir))
+        .select("conv_id", "turn_idx", "role", "lang", "keep", "scrubbed_text")
+    })
+  )
+
+  // -- oracle SQL (DuckDB dialect; same parquet tables) --------------------
+
+  def oracleSql: Map[String, String] = {
+    val words =
+      "case when trim(text)='' then 0 else len(regexp_split_to_array(trim(text),'\\s+')) end"
+    Map(
+      "q01_report_agg" ->
+        s"""SELECT count(*) AS total_files,
+            round(sum(strlen(text))/1048576.0, 6) AS total_mb,
+            round(avg(strlen(text))/1048576.0, 9) AS avg_mb,
+            cast(sum($words) as bigint) AS total_words,
+            round(avg($words), 6) AS avg_words
+            FROM documents""",
+      "q02_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty,
+           cast(sum(cast(l_extendedprice as decimal(18,2))) as double) AS sum_base_price,
+           count(*) AS count_order
+           FROM lineitem GROUP BY l_returnflag, l_linestatus
+           ORDER BY l_returnflag, l_linestatus""",
+      "q03_top_customers" ->
+        """SELECT c_custkey, c_name,
+           cast(sum(cast(cast(l_extendedprice as decimal(18,2)) *
+                (cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))
+                as decimal(28,4))) as double) AS revenue,
+           count(*) AS n_items
+           FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+           GROUP BY c_custkey, c_name
+           ORDER BY revenue DESC, c_custkey LIMIT 10""",
+      "q04_region_supplier" ->
+        """SELECT r_name, count(*) AS n_suppliers,
+           round(cast(sum(cast(s_acctbal as decimal(18,2))) as double), 2) AS total_bal
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name ORDER BY r_name""",
+      "q05_events_window" ->
+        """SELECT event_id, user_id, event_type,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+           lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events""",
+      "q06_dedup_exact" ->
+        """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+           FROM documents GROUP BY md5(text)""",
+      "q07_semi_join" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey AND l_quantity > 45)""",
+      "q08_anti_join" ->
+        """SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+      "q09_token_count" ->
+        s"""SELECT doc_id, $words AS n_tokens,
+            length(text) AS n_chars_utf32,
+            strlen(text) AS n_bytes
+            FROM documents""",
+      "q10_fingerprint" ->
+        "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+      "q11_scrub_docs" ->
+        """SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(text,
+             'https?://[^\s<>"'']+', '[URL]', 'g'),
+             '\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b', '[EMAIL]', 'g'),
+             '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+             '\b(?:\d{4}[ -]){3}\d{4}\b|\b\d{15,16}\b', '[CC]', 'g'),
+             '(?:\(\d{3}\)\s?|\b\d{3}[-.])\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '[IP]', 'g'),
+             '(?i)\b(?:frakking|gorram|smegging|feldercarb|dren|frell)\b', '[REDACTED]', 'g')
+           AS scrubbed FROM documents""",
+      "q12_clean_pages" ->
+        """SELECT doc_id,
+           trim(lower(regexp_replace(regexp_replace(regexp_replace(text,
+             '(?m)^\s*\d{1,4}\s*$', '', 'g'),
+             '---\s*Page\s+\d+\s*---', '', 'g'),
+             '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
+           AS cleaned FROM documents""",
+      "q14_quality_stats" ->
+        s"""SELECT doc_id, length(text) AS n_chars, $words AS n_words,
+            length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+            FROM documents"""
+    )
+  }
 }

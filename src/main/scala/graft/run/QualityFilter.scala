@@ -1,0 +1,113 @@
+package graft.run
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.CleanText
+import graft.model.{CleanConfig, Turn}
+import graft.quality.{FilterConfig, Heuristics, LangId, Perplexity}
+import graft.scrub.Scrubber
+
+/** The flagship job (north_rule): language-ID + quality-filter + PII/toxicity
+  * scrub over the transcripts table, emitting keep/drop + byte-exact scrubbed
+  * text per turn.
+  *
+  * Plan shape (one shuffle total):
+  *   scan → [CleanText native expr] → [one fused analysis UDF: langid + KN
+  *   perplexity + heuristic rules, single text pass each, broadcast models]
+  *   → window over (conv_id ORDER BY turn_idx) for the cross-turn repetition
+  *   rule (THE shuffle — by conv_id) → keep/drop + [ScrubText native expr].
+  *
+  * Scale notes: the per-turn stages are embarrassingly parallel and stay in
+  * WholeStageCodegen; the window frame is bounded (lag ≤ K), so cost is
+  * linear even for mega-conversations; both models are driver-built once and
+  * broadcast (LangId ~1.5 MB, Perplexity ~300 KB) — nothing is re-trained or
+  * re-shipped per task.
+  */
+object QualityFilter {
+
+  /** Analysis payload produced by the single fused per-turn UDF. */
+  final case class Analysis(
+      lang: String,
+      lang_score: Double,
+      ppl: Double,
+      fails: Seq[String]
+  )
+
+  def apply(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): DataFrame = {
+    val sc = spark.sparkContext
+    val lidB = sc.broadcast(LangId.model)
+    val pplB = sc.broadcast(Perplexity.model)
+    val fcfg = filterCfg
+
+    val analyze = udf { (text: String, role: String) =>
+      if (text == null) Analysis("und", 0.0, 0.0, Seq("null_text"))
+      else {
+        val (lang, score) = lidB.value.classify(text)
+        val ppl = pplB.value.perplexity(text)
+        Analysis(lang, score, ppl, Heuristics.ruleFailures(text, role, lang, ppl, fcfg))
+      }
+    }
+
+    val w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    val crossRepeat = (1 to filterCfg.crossTurnWindow)
+      .map(k => coalesce(col("clean_text") === lag(col("clean_text"), k).over(w), lit(false)))
+      .reduce(_ || _)
+
+    turns
+      .withColumn("clean_text", CleanText(col("text"), cleanCfg))
+      .withColumn("a", analyze(col("clean_text"), col("role")))
+      .withColumn("cross_repeat", crossRepeat)
+      .withColumn(
+        "drop_reasons",
+        when(col("cross_repeat"),
+          concat(col("a.fails"), array(lit("cross_turn_repeat"))))
+          .otherwise(col("a.fails"))
+      )
+      .withColumn("keep", size(col("drop_reasons")) === 0)
+      .withColumn("scrubbed_text", Scrubber(col("clean_text")))
+      .select(
+        col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("clean_text"), col("scrubbed_text"),
+        col("a.lang").as("lang"), col("a.lang_score").as("lang_score"),
+        col("a.ppl").as("ppl"), col("keep"), col("drop_reasons")
+      )
+  }
+
+  /** Sequential single-threaded evaluation of the SAME spec — the oracle the
+    * distributed pipeline is checked against (keep/drop F1 and byte-exact
+    * scrubbed text, BASELINE.md targets). Uses the same pure kernels but an
+    * explicit prev-K buffer instead of a Window, so it exercises none of
+    * Spark's distribution machinery. */
+  def sequentialOracle(
+      turns: Seq[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Seq[(String, Int, Boolean, String)] = {
+    val chain = graft.pipeline.CleanPipeline.kernelChain(cleanCfg)
+    turns
+      .groupBy(_.conv_id)
+      .toSeq
+      .flatMap { case (convId, ts) =>
+        val sorted = ts.sortBy(_.turn_idx)
+        var prevs = List.empty[String]
+        sorted.map { t =>
+          val cleanText = chain(t.text)
+          val (lang, _) = LangId.model.classify(cleanText)
+          val ppl = Perplexity.model.perplexity(cleanText)
+          val fails =
+            Heuristics.ruleFailures(cleanText, t.role, lang, ppl, filterCfg)
+          val crossRep = prevs.contains(cleanText)
+          prevs = (cleanText :: prevs).take(filterCfg.crossTurnWindow)
+          val keep = fails.isEmpty && !crossRep
+          (convId, t.turn_idx, keep, Scrubber.scrub(cleanText))
+        }
+      }
+  }
+}

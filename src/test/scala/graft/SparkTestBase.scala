@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for all suites (Spark startup dominates test
+  * wall-time otherwise). Config mirrors the production session defaults:
+  * small shuffle partition count sized to cores, AQE on. */
+object SparkTestBase {
+  lazy val spark: SparkSession = SparkSession
+    .builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.driver.host", "localhost")
+    .getOrCreate()
+}
+
+trait SparkTestBase {
+  lazy val spark: SparkSession = {
+    val s = SparkTestBase.spark
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
