@@ -192,8 +192,75 @@ object SparkEntry {
     "q15_keep_drop" -> ((s, dir) => {
       QualityFilter(s, synthTurns(s, dir))
         .select("conv_id", "turn_idx", "role", "lang", "keep", "scrubbed_text")
+    }),
+
+    // MinHash+LSH near-dup pairs over the (exact-deduped) synthetic turn
+    // corpus — shingle→minhash→band→bucket-join→exact-Jaccard verify.
+    // Exactness vs brute force asserted in ScalaTest (DedupSpec).
+    "q16_minhash_pairs" -> ((s, dir) => {
+      graft.dedup.MinHashLSH.nearDuplicates(s, dedupCorpus(s, dir))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash 64-bit fingerprints per document
+    "q17_simhash_sigs" -> ((s, dir) => {
+      val sh = udf((t: String) => graft.dedup.SimHash.simhash(t))
+      docs(s, dir).select(col("doc_id"), sh(col("text")).as("simhash64"))
+    }),
+
+    // SimHash near-dup pairs (hamming <= 3) via block rotation
+    "q18_simhash_pairs" -> ((s, dir) => {
+      graft.dedup.SimHash.nearDuplicates(s, dedupCorpus(s, dir))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // exact brute-force cosine top-k over the embeddings table
+    // (broadcast queries + per-partition bounded heaps, no crossJoin)
+    "q19_ann_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      graft.sim.Ann.bruteForceTopK(s, emb, queries, k = 10)
+    }),
+
+    // LSH-bucketed approximate ANN (same queries; recall vs exact is
+    // asserted in ScalaTest on clustered data)
+    "q20_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      graft.sim.Ann.lshTopK(s, emb, queries, k = 10)
+    }),
+
+    // embedding-cosine near-dup pairs; deterministic planted near-copies
+    // (vec_id+1000000) guarantee a non-degenerate result at every sf
+    "q21_embed_neardup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val planted = emb.filter(_._1 % 20 == 0).map { case (id, v) =>
+        (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+          if (i % 7 == 0) x + 1e-4f else x })
+      }
+      graft.sim.Ann.nearDuplicatePairs(s, emb.union(planted).toDF("vec_id", "embedding"),
+        minCosine = 0.98).orderBy("id_a", "id_b")
     })
   )
+
+  /** Shared corpus for the near-dup queries: distinct synthetic turn texts
+    * with a stable numeric id (exact dups removed first so MinHash/SimHash
+    * surface only NEAR duplicates). */
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    synthTurns(s, dir)
+      .select(col("text"))
+      .filter(length(col("text")) > 20)
+      .dropDuplicates("text")
+      .withColumn("id", xxhash64(col("text")))
+      .select("id", "text")
+  }
 
   // -- oracle SQL (DuckDB dialect; same parquet tables) --------------------
 
@@ -274,6 +341,16 @@ object SparkEntry {
              '---\s*Page\s+\d+\s*---', '', 'g'),
              '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
            AS cleaned FROM documents""",
+      "q19_ann_topk" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           s AS (SELECT qid, vec_id,
+                   list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) AS sc
+                 FROM q, embeddings),
+           r AS (SELECT qid, vec_id, sc,
+                   row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn
+                 FROM s)
+           SELECT qid AS query_id, vec_id, round(sc, 6) AS score, rn AS rank
+           FROM r WHERE rn <= 10""",
       "q14_quality_stats" ->
         s"""SELECT doc_id, length(text) AS n_chars, $words AS n_words,
             length(regexp_replace(text, '[^\\p{L}]', '', 'g')) AS n_letters,

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{MinHashLSH, Shingles, SimHash}
+import graft.sim.Ann
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  /** Synthetic corpus: 60 base docs, each with 0-2 near-dup mutations and a
+    * couple of exact copies — all deterministic. */
+  private def corpus: Seq[(Long, String)] = {
+    val rng = new graft.gen.TranscriptGen.Rng(99L)
+    val bases = (0 until 60).map { i =>
+      (0 until 8).map(_ => s"sentence ${rng.nextInt(1000)} about topic ${rng.nextInt(50)} " +
+        s"with detail ${rng.nextInt(1000)}").mkString(". ")
+    }
+    var id = -1L
+    bases.zipWithIndex.flatMap { case (b, i) =>
+      val variants = scala.collection.mutable.ArrayBuffer[String](b)
+      if (i % 3 == 0) variants += b.replace("topic", "subject") // near-dup
+      if (i % 5 == 0) variants += b // exact dup
+      if (i % 7 == 0) variants += (b + " extra trailing clause appended here")
+      variants.map { v => id += 1; (id, v) }
+    }
+  }
+
+  test("minhash LSH finds exactly the brute-force near-dup pairs (J >= 0.8)") {
+    import spark.implicits._
+    val cfg = MinHashLSH.Config()
+    val expected = MinHashLSH.bruteForcePairs(corpus, cfg)
+      .map(p => (p._1, p._2)).toSet
+    assert(expected.nonEmpty, "test corpus must contain near-dups")
+
+    val df = corpus.toDF("id", "text")
+    val got = MinHashLSH.nearDuplicates(spark, df, cfg)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    // LSH at 16x8 detects J>=0.8 w.p. ~1; no false positives after verify
+    assert(got.subsetOf(expected), s"false positives: ${got -- expected}")
+    val recall = (got & expected).size.toDouble / expected.size
+    info(f"minhash recall = $recall%.3f over ${expected.size} true pairs")
+    assert(recall >= 0.95)
+  }
+
+  test("jaccard kernel: identical=1, disjoint=0, known overlap") {
+    val a = Shingles.charShingles("the quick brown fox jumps over the lazy dog")
+    assert(Shingles.jaccard(a, a) === 1.0)
+    val b = Shingles.charShingles("completely different words entirely unrelated")
+    assert(Shingles.jaccard(a, b) < 0.05)
+  }
+
+  test("simhash blocking finds all pairs within hamming<=3, no extras") {
+    import spark.implicits._
+    val docs = corpus
+    val sigs = docs.map { case (id, t) => (id, SimHash.simhash(t)) }
+    val expected = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      if SimHash.hamming(sigs(i)._2, sigs(j)._2) <= 3
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(expected.nonEmpty)
+
+    val got = SimHash.nearDuplicates(spark, docs.toDF("id", "text"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got === expected) // blocking guarantees recall 1 for hamming < blocks
+  }
+
+  test("brute-force ANN matches driver-side exact top-k on the embeddings table") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val all = emb.select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    val queries = all.take(5)
+    val k = 10
+
+    val got = Ann.bruteForceTopK(spark, emb, queries, k)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+
+    queries.foreach { case (qid, qv) =>
+      val exact = all
+        .map { case (vid, v) => (vid, Ann.cosine(qv, v)) }
+        .sortBy { case (vid, s) => (-s, vid) }
+        .take(k).map(_._1).toSeq
+      assert(got(qid) === exact, s"query $qid")
+    }
+  }
+
+  /** Deterministic clustered vectors: 20 centers, 50 points each with small
+    * noise — the regime ANN indexes are for. (The driver's embeddings table
+    * is ~isotropic random noise — top-10 mean cosine 0.30 — where no
+    * sublinear ANN can have high recall; brute force covers that table.) */
+  private def clusteredVectors(dim: Int = 64): Array[(Long, Array[Float])] = {
+    val rng = new graft.gen.TranscriptGen.Rng(5L)
+    def gauss(): Double = {
+      val u1 = math.max(1e-12, rng.nextDouble()); val u2 = rng.nextDouble()
+      math.sqrt(-2 * math.log(u1)) * math.cos(2 * math.Pi * u2)
+    }
+    val centers = Array.fill(20)(Array.fill(dim)(gauss().toFloat))
+    var id = -1L
+    centers.flatMap { c =>
+      Array.fill(50) {
+        id += 1
+        (id, c.zipWithIndex.map { case (x, _) => x + 0.15f * gauss().toFloat })
+      }
+    }
+  }
+
+  test("LSH ANN recall vs exact baseline on clustered data") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.take(10)
+    val k = 10
+    val exact = Ann.bruteForceTopK(spark, df, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(spark, df, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"lsh ann recall = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f too low on clustered data")
+  }
+
+  test("embedding near-dup pairs: planted duplicate is found") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+    // plant: vec 9001 = copy of vec 0 with tiny noise
+    val v0 = emb(0)._2
+    val planted = v0.zipWithIndex.map { case (x, i) => x + (if (i % 7 == 0) 1e-4f else 0f) }
+    val df = (emb :+ (9001L, planted)).toSeq.toDF("vec_id", "embedding")
+    val pairs = Ann.nearDuplicatePairs(spark, df, minCosine = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((emb(0)._1, 9001L)) || pairs.contains((9001L, emb(0)._1)),
+      s"planted pair missing; got ${pairs.take(10)}")
+  }
+}
