@@ -246,6 +246,60 @@ object SparkEntry {
       }
       graft.sim.Ann.nearDuplicatePairs(s, emb.union(planted).toDF("vec_id", "embedding"),
         minCosine = 0.98).orderBy("id_a", "id_b")
+    }),
+
+    // multimodal: synth binary media → stub-decode meta → aggregate with the
+    // binary column projected away before the shuffle
+    "q22_media_meta" -> ((s, dir) => {
+      val n = math.max(300L, (sfOf(dir) * 30000).toLong)
+      graft.multimodal.Media.metaSummary(graft.multimodal.Media.synthesize(s, n))
+    }),
+
+    // multimodal: stub feature extraction feeding exact ANN top-k
+    "q23_media_ann" -> ((s, dir) => {
+      import s.implicits._
+      val n = math.max(300L, (sfOf(dir) * 30000).toLong)
+      val feats = graft.multimodal.Media.features(graft.multimodal.Media.synthesize(s, n))
+      val queries = feats.as[(Long, Array[Float])].filter(_._1 < 5).collect()
+      graft.sim.Ann.bruteForceTopK(s, feats, queries, k = 5)
+    }),
+
+    // winnowing document fingerprints (rolling-hash, SIGMOD'03)
+    "q24_winnow_fingerprints" -> ((s, dir) => {
+      val fpUdf = udf((t: String) => graft.text.Fingerprint.winnow(t))
+      docs(s, dir)
+        .select(col("doc_id"), fpUdf(col("text")).as("fp"))
+        .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
+          element_at(col("fp"), 1).as("min_fp"))
+    }),
+
+    // BPE-ish pre-tokenizer count (letters / digit-runs / single symbols)
+    "q25_bpe_tokens" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0))).as("n_bpe_tokens"))
+    }),
+
+    // UAX#29 word counting (report word-count mode B, reference
+    // rust_preview/src/lib.rs:59-65)
+    "q26_uax29_words" -> ((s, dir) => {
+      val wc = udf((t: String) =>
+        if (t == null) 0 else graft.kernel.TextKernels.uax29WordCount(t))
+      docs(s, dir).select(col("doc_id"), wc(col("text")).as("n_words_uax29"))
+    }),
+
+    // AdvancedPatternBuilder synthesis (reference src/CorpusAid.py:1128-1157)
+    // applied as a removal over documents
+    "q27_pattern_builder" -> ((s, dir) => {
+      import graft.functions.PatternBuilder._
+      val pat = compile(
+        Seq(Rule("row", SingleNumber, end = "0"),
+          Rule("group", SpecificSequence, end = "scan")),
+        wholeWords = false, caseSensitive = false)
+      val applyPat = udf((t: String) =>
+        if (t == null) null else pat.matcher(t).replaceAll(""))
+      docs(s, dir).select(col("doc_id"), applyPat(col("text")).as("filtered"))
     })
   )
 
@@ -341,6 +395,14 @@ object SparkEntry {
              '---\s*Page\s+\d+\s*---', '', 'g'),
              '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
            AS cleaned FROM documents""",
+      "q25_bpe_tokens" ->
+        """SELECT doc_id,
+           len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_bpe_tokens
+           FROM documents""",
+      "q27_pattern_builder" ->
+        """SELECT doc_id,
+           regexp_replace(text, '(?is)row.*?[0-9]|group.*?scan', '', 'g') AS filtered
+           FROM documents""",
       "q19_ann_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
            s AS (SELECT qid, vec_id,

@@ -38,19 +38,6 @@ final case class CleanedTurn(
     drop_reasons: Seq[String]
 )
 
-/** One row of the AdvancedPatternBuilder wizard
-  * (reference: src/CorpusAid.py:1015-1209; pattern synthesis 1128-1157).
-  * startText..end matched lazily; endType selects how `end` is interpreted.
-  */
-final case class PatternRule(
-    startText: String,
-    endType: String, // "Single Newline" | "Digits" | "Specific Text"
-    endText: String, // used when endType == "Specific Text"
-    numberLength: Int, // used when endType == "Digits"
-    wholeWords: Boolean,
-    caseSensitive: Boolean
-)
-
 /** The pipeline configuration — the reference's flat parameter dict of 17 bools +
   * chars_to_remove + regex_pattern (src/CorpusAid.py:570-590), as an immutable,
   * eagerly-validated case class. Field order follows the reference dict.

@@ -1,0 +1,136 @@
+package graft.run
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{CleanConfig, Turn}
+import graft.quality.FilterConfig
+
+/** Checkpointed, resumable execution of the quality-filter pipeline with
+  * per-partition lineage + metrics (north_rule).
+  *
+  * The output table is the sandbox's Iceberg stand-in (SURVEY.md §7.1 — no
+  * Iceberg runtime jar ships with the image): conv_id-hash-bucketed parquet
+  * (`bucket=NN/` directories) plus a JSON manifest that plays the role of the
+  * Iceberg snapshot/manifest list. A real Iceberg catalog is a drop-in: the
+  * manifest maps 1:1 onto a snapshot's data-file list and summary metrics.
+  *
+  * Commit protocol (idempotent, partition-grained):
+  *   1. read the manifest → set of committed buckets (+ config fingerprint);
+  *      a fingerprint change invalidates all buckets (the plan changed)
+  *   2. ONE Spark job over the still-pending buckets only
+  *      (`pmod(xxhash64(conv_id), B)` pruned at the scan/filter), written
+  *      with dynamic partition overwrite — a bucket directory is replaced
+  *      atomically per task-commit, never appended twice
+  *   3. per-bucket lineage rows (rows, kept, wall time, fingerprint) are
+  *      appended to the manifest via write-temp-then-atomic-rename
+  *
+  * Exact resume: killing the job between 2 and 3 re-runs only buckets whose
+  * manifest entry is missing; generation determinism (TranscriptGen) or the
+  * immutable input table guarantees byte-identical bucket contents.
+  */
+object CheckpointedRun {
+
+  final case class BucketEntry(
+      bucket: Int,
+      rows: Long,
+      kept: Long,
+      wallMs: Long,
+      fingerprint: String
+  )
+
+  /** Stable fingerprint of the logical plan configuration. */
+  def fingerprint(cleanCfg: CleanConfig, filterCfg: FilterConfig, nBuckets: Int): String = {
+    val payload = s"$cleanCfg|$filterCfg|$nBuckets|v1"
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(payload.getBytes(StandardCharsets.UTF_8))
+      .take(8).map(b => f"$b%02x").mkString
+  }
+
+  // -- manifest I/O (tiny hand-rolled JSON — no extra deps) ----------------
+
+  private def manifestPath(out: String): Path = Paths.get(out, "_graft_manifest.json")
+
+  def readManifest(out: String): Seq[BucketEntry] = {
+    val p = manifestPath(out)
+    if (!Files.exists(p)) return Nil
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    """\{[^}]*\}""".r.findAllIn(txt).toSeq.flatMap { obj =>
+      def field(k: String): Option[String] =
+        (k + "\":\\s*\"?([^,\"}]+)").r.findFirstMatchIn(obj).map(_.group(1))
+      for {
+        b <- field("bucket"); r <- field("rows"); kp <- field("kept")
+        w <- field("wallMs"); f <- field("fingerprint")
+      } yield BucketEntry(b.toInt, r.toLong, kp.toLong, w.toLong, f)
+    }
+  }
+
+  def writeManifest(out: String, entries: Seq[BucketEntry]): Unit = {
+    val json = entries
+      .sortBy(_.bucket)
+      .map(e => s"""{"bucket": ${e.bucket}, "rows": ${e.rows}, "kept": ${e.kept}, """ +
+        s""""wallMs": ${e.wallMs}, "fingerprint": "${e.fingerprint}"}""")
+      .mkString("[\n", ",\n", "\n]")
+    Files.createDirectories(Paths.get(out))
+    val tmp = Paths.get(out, s"_graft_manifest.json.tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, manifestPath(out), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run (or resume) the pipeline; returns the per-bucket lineage written in
+    * this invocation (empty when everything was already committed). */
+  def run(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      outPath: String,
+      nBuckets: Int = 32,
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Seq[BucketEntry] = {
+    val fp = fingerprint(cleanCfg, filterCfg, nBuckets)
+    val prior = readManifest(outPath).filter(_.fingerprint == fp)
+    val committed = prior.map(_.bucket).toSet
+    val pending = (0 until nBuckets).filterNot(committed)
+    if (pending.isEmpty) return Nil
+
+    val t0 = System.nanoTime()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+    val result = QualityFilter(spark, turns, cleanCfg, filterCfg)
+      .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
+      .filter(col("bucket").isin(pending: _*))
+
+    // one job: write pending buckets + collect their lineage counts
+    result.write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(outPath)
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val counts = spark.read.parquet(outPath)
+      .filter(col("bucket").isin(pending: _*))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("rows"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+      .collect()
+      .map(r => BucketEntry(r.getInt(0), r.getLong(1), r.getLong(2), wallMs, fp))
+      .toSeq
+
+    // buckets with zero rows still need a commit marker
+    val zero = pending.toSet -- counts.map(_.bucket).toSet
+    val fresh = counts ++ zero.map(b => BucketEntry(b, 0L, 0L, wallMs, fp))
+    writeManifest(outPath, prior ++ fresh)
+    fresh
+  }
+
+  /** Lineage metrics as a DataFrame (the "metrics table"). */
+  def metrics(spark: SparkSession, outPath: String): DataFrame = {
+    import spark.implicits._
+    readManifest(outPath).toDF()
+  }
+}

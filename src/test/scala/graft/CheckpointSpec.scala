@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.run.{CheckpointedRun, QualityFilter}
+
+class CheckpointSpec extends AnyFunSuite with SparkTestBase {
+
+  private def freshDir(): String = {
+    val d = Files.createTempDirectory("graft_ckpt_").toString
+    d
+  }
+
+  private val nBuckets = 8
+
+  test("full run commits every bucket; output equals direct pipeline") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 200, megaTurns = 300)
+    val fresh = CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(fresh.map(_.bucket).sorted === (0 until nBuckets))
+    assert(fresh.map(_.rows).sum === turns.count())
+
+    val direct = QualityFilter(spark, turns)
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+    val written = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(written === direct)
+  }
+
+  test("resume recomputes ONLY missing buckets, byte-identical result") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 200, megaTurns = 300)
+    val all = CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(all.size === nBuckets)
+    val before = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+
+    // simulate a crash that lost buckets 2 and 5 before their commit
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(e => Set(2, 5)(e.bucket)))
+    Seq(2, 5).foreach { b =>
+      val dir = Paths.get(out, s"bucket=$b")
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+    // record mtimes of a surviving bucket's files
+    val survivor = Files.walk(Paths.get(out, "bucket=0")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet")).toSeq
+    val mtimes = survivor.map(p => p -> Files.getLastModifiedTime(p)).toMap
+
+    val fresh = CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(fresh.map(_.bucket).sorted === Seq(2, 5), s"recomputed: ${fresh.map(_.bucket)}")
+
+    // surviving buckets untouched (no duplicate work)
+    survivor.foreach(p => assert(Files.getLastModifiedTime(p) === mtimes(p)))
+
+    val after = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(after === before)
+
+    // idempotent: nothing pending on a third run
+    assert(CheckpointedRun.run(spark, turns, out, nBuckets).isEmpty)
+  }
+
+  test("config change invalidates the checkpoint (fingerprint mismatch)") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 50, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val fresh = CheckpointedRun.run(spark, turns, out, nBuckets,
+      filterCfg = graft.quality.FilterConfig(minChars = 10))
+    assert(fresh.size === nBuckets, "new fingerprint must recompute everything")
+  }
+
+  test("lineage metrics table is queryable") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 50, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val m = CheckpointedRun.metrics(spark, out)
+    assert(m.count() === nBuckets)
+    assert(m.agg(sum("rows")).head.getLong(0) === turns.count())
+    assert(m.filter(col("kept") > 0).count() > 0)
+  }
+}
