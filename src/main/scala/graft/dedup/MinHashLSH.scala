@@ -79,9 +79,13 @@ object MinHashLSH {
       if (text == null) Array.empty[Long] else Shingles.charShingles(text, cfg.shingleK))
     val bandsUdf = udf((sh: Array[Long]) => bandHashes(signature(sh, cfg), cfg))
 
+    // persisted: referenced three times (bucketing + both sides of the
+    // verify join) — without this the upstream source AND the 128-slot
+    // signatures are recomputed per reference
     val withBands = docs
       .select(col("id"), col("text"), shingleUdf(col("text")).as("shingles"))
       .withColumn("band_hashes", bandsUdf(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // explode to (band_idx, band_hash, id); shuffle on the bucket key
     val buckets = withBands

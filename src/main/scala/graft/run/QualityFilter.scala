@@ -60,7 +60,22 @@ object QualityFilter {
       .map(k => coalesce(col("clean_text") === lag(col("clean_text"), k).over(w), lit(false)))
       .reduce(_ || _)
 
+    // Shuffle FIRST, on the raw (narrow) rows: repartition+sortWithinPartitions
+    // already satisfies the window's required distribution and ordering, so
+    // the Window adds NO second exchange — and the clean/analyze/scrub work
+    // all runs post-shuffle in one stage, keeping clean_text and the analysis
+    // struct out of the shuffle entirely (~2x less shuffle volume).
+    //
+    // The partition count is EXPLICIT: AQE would coalesce this exchange by
+    // shuffle BYTES, but the downstream cost here is CPU per row (regex +
+    // models), so byte-based coalescing serializes the whole pipeline onto a
+    // handful of cores. Explicit N opts this exchange out of AQE coalescing.
+    val nPart = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
     turns
+      .repartition(nPart, col("conv_id"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
       .withColumn("clean_text", CleanText(col("text"), cleanCfg))
       .withColumn("a", analyze(col("clean_text"), col("role")))
       .withColumn("cross_repeat", crossRepeat)
@@ -72,6 +87,12 @@ object QualityFilter {
       )
       .withColumn("keep", size(col("drop_reasons")) === 0)
       .withColumn("scrubbed_text", Scrubber(col("clean_text")))
+      // live run counters (reference progress/report signals,
+      // src/CorpusAid.py:762-793 → Dataset.observe + QueryExecutionListener)
+      .observe("graft_metrics",
+        count(lit(1)).as("turns"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+        sum(octet_length(col("text"))).as("bytes_in"))
       .select(
         col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("clean_text"), col("scrubbed_text"),

@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-corpus ingestion — the reference's source path re-expressed as a
+  * Spark scan (SURVEY.md §2.2):
+  *
+  *  - recursive directory scan for `*.txt`, case-insensitive
+  *    (reference src/CorpusAid.py:751-756; Rust twin rust_preview/src/lib.rs:
+  *    77-98) → `recursiveFileLookup` + `pathGlobFilter`
+  *  - one file = one record (Document) → `wholetext`
+  *  - encoding-tolerant UTF-8 (utf-8 errors="replace",
+  *    src/CorpusAid.py:141) → Spark's text source decodes UTF-8 with
+  *    replacement characters, same contract; byte-level charset detection is
+  *    irrelevant for parquet-era inputs
+  *  - dedup by normalized path on add (src/CorpusAid.py:725-733)
+  *    → dropDuplicates on the canonical path
+  *  - bounded preview (5000 chars + truncation marker,
+  *    src/CorpusAid.py:489-531, constant :158) → substring + flag
+  */
+object TextCorpus {
+
+  val PreviewCharLimit = 5000 // reference src/CorpusAid.py:158
+  val PreviewTruncationMarker =
+    "\n\n[Preview truncated. Open the file to view the full contents.]"
+
+  /** Load a corpus directory: one row per .txt file with its path. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.{txt,TXT,Txt,tXt,txT,TXt,TxT,tXT}")
+      .text(dir)
+      .select(input_file_name().as("file_path"), col("value").as("text"))
+      .dropDuplicates("file_path")
+
+  /** The preview projection (UI affordance, per-row limit semantics). */
+  def preview(df: DataFrame): DataFrame =
+    df.select(
+      col("file_path"),
+      when(length(col("text")) > PreviewCharLimit,
+        concat(substring(col("text"), 1, PreviewCharLimit),
+          lit(PreviewTruncationMarker)))
+        .otherwise(col("text")).as("preview"),
+      (length(col("text")) > PreviewCharLimit).as("truncated")
+    )
+
+  /** Sink: the reference overwrites source files keeping one `.bak`
+    * (src/CorpusAid.py:2383-2418). The Spark-native contract is a versioned
+    * columnar sink — partitioned parquet per run directory; the previous run
+    * directory IS the backup (cheap rename-level "undo", like an Iceberg
+    * snapshot). Only-modified-docs ≙ checkpointed resume (CheckpointedRun).
+    */
+  def write(df: DataFrame, outDir: String, runId: String): String = {
+    val dest = s"$outDir/run=$runId"
+    df.write.mode("overwrite").parquet(dest)
+    dest
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.model.{CleanConfig, Turn}
+import graft.pipeline.CleanPipeline
+import graft.quality.{FilterConfig, Heuristics, LangId, Perplexity}
+import graft.scrub.Scrubber
+
+/** Structured Streaming variant of the quality filter.
+  *
+  * The reference is strictly batch (one run per button press,
+  * src/CorpusAid.py:2420-2445); this is the engine extension for continuous
+  * transcript ingestion. Per-turn stages are the same pure kernels; the
+  * cross-turn repetition rule becomes keyed state: conv_id →
+  * last-K clean texts, via flatMapGroupsWithState (SURVEY.md §2.4 row
+  * "streaming").
+  *
+  * Assumes per-conversation monotone arrival (standard when the upstream
+  * bus partitions by conv_id); late turns are evaluated against state as-of
+  * arrival.
+  */
+object StreamingFilter {
+
+  final case class StreamedVerdict(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      lang: String,
+      ppl: Double,
+      keep: Boolean,
+      drop_reasons: Seq[String],
+      scrubbed_text: String
+  )
+
+  final case class ConvState(lastTexts: List[String])
+
+  def apply(
+      turns: Dataset[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Dataset[StreamedVerdict] = {
+    import turns.sparkSession.implicits._
+    val chainCfg = cleanCfg.validated
+    val fcfg = filterCfg
+
+    def process(
+        convId: String,
+        it: Iterator[Turn],
+        state: GroupState[ConvState]
+    ): Iterator[StreamedVerdict] = {
+      val chain = CleanPipeline.kernelChain(chainCfg)
+      var prevs = state.getOption.map(_.lastTexts).getOrElse(Nil)
+      val out = it.toSeq.sortBy(_.turn_idx).map { t =>
+        val cleanText = chain(t.text)
+        val (lang, _) = LangId.model.classify(cleanText)
+        val ppl = Perplexity.model.perplexity(cleanText)
+        val fails = Heuristics.ruleFailures(cleanText, t.role, lang, ppl, fcfg)
+        val crossRep = prevs.contains(cleanText)
+        prevs = (cleanText :: prevs).take(fcfg.crossTurnWindow)
+        val reasons = if (crossRep) fails :+ "cross_turn_repeat" else fails
+        StreamedVerdict(t.conv_id, t.turn_idx, t.role, lang, ppl,
+          reasons.isEmpty, reasons, Scrubber.scrub(cleanText))
+      }
+      state.update(ConvState(prevs))
+      out.iterator
+    }
+
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(process)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.run.{GraftSession, QualityFilter}
+
+/** Physical-plan audits: the properties that matter at 100 TB, asserted on
+  * the actual executed plans (not eyeballed). */
+class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // materialize so AQE finalizes
+    // keep only the final adaptive plan (the initial plan repeats every node)
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("flagship pipeline has exactly ONE shuffle exchange") {
+    val df = QualityFilter(spark, TranscriptGen.dataset(spark, 100, megaTurns = 200))
+    val plan = executedPlan(df)
+    val exchanges = "ShuffleExchange|Exchange hashpartitioning".r
+      .findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 exchange, plan:\n$plan")
+  }
+
+  test("filter is pushed down to the parquet scan (q07 shape)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey")
+    val plan = li.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"pushdown missing:\n$plan")
+    // column pruning: the scan must read only the two needed columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"pruning missing:\n$plan")
+  }
+
+  test("small dimension joins broadcast (q04 shape)") {
+    val plan = executedPlan(SparkEntry.queries("q04_region_supplier")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("per-turn stages stay inside WholeStageCodegen (native expressions)") {
+    val df = QualityFilter(spark, TranscriptGen.dataset(spark, 50, megaTurns = 0))
+    val plan = executedPlan(df)
+    // AQE plan strings mark WholeStageCodegen spans with "*(n)" prefixes
+    assert("\\*\\(\\d+\\)".r.findAllIn(plan).nonEmpty, s"no codegen spans:\n$plan")
+    // the native expressions appear inside projections, not as BatchEvalPython
+    assert(plan.contains("clean_text") && plan.contains("scrub_text"))
+  }
+
+  test("salted repartition spreads a skewed key across partitions") {
+    import spark.implicits._
+    // one key with 10k rows, 50 keys with 10 rows
+    val skewed = (Seq.fill(10000)("hot") ++
+      (1 to 50).flatMap(k => Seq.fill(10)(s"k$k"))).toDF("conv_id")
+    val unsalted = GraftSession.partitionSizes(
+      skewed.repartition(8, col("conv_id")))
+    val salted = GraftSession.partitionSizes(
+      GraftSession.saltedRepartition(skewed, col("conv_id"), 8))
+    assert(unsalted.max >= 10000, "hot key lands in one partition unsalted")
+    assert(salted.max < 4000, s"salting must spread the hot key: $salted")
+  }
+}

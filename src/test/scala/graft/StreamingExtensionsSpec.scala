@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gen.TranscriptGen
+import graft.model.Turn
+import graft.streaming.StreamingFilter
+
+class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
+
+  test("streaming filter == batch pipeline verdicts, across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val turns = TranscriptGen.local(60, megaTurns = 0)
+    val (b1, b2) = turns.partition(t => t.turn_idx % 2 == 0 || t.conv_id.hashCode % 2 == 0)
+
+    val input = MemoryStream[Turn]
+    val query = StreamingFilter(input.toDS())
+      .writeStream.format("memory").queryName("verdicts")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("verdicts")
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text")
+      .as[(String, Int, Boolean, String)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    val oracle = graft.run.QualityFilter.sequentialOracle(turns)
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+
+    assert(streamed.keySet === oracle.keySet)
+    // batches split conversations arbitrarily, so cross-turn state crosses
+    // the batch boundary — but arrival order within a conversation is NOT
+    // globally sorted here, so only turns whose full prefix arrived in order
+    // must agree; with our split (evens first) conv state diverges from the
+    // batch oracle exactly when a repeat referenced an out-of-order prefix.
+    // Count agreement instead of exact equality and require it to be high,
+    // and require EXACT equality on conversations delivered fully in batch 1.
+    val fullConvs = b1.groupBy(_.conv_id).collect {
+      case (cid, ts) if turns.count(_.conv_id == cid) == ts.size => cid
+    }.toSet
+    assert(fullConvs.nonEmpty)
+    fullConvs.foreach { cid =>
+      turns.filter(_.conv_id == cid).foreach { t =>
+        assert(streamed((cid, t.turn_idx)) === oracle((cid, t.turn_idx)),
+          s"conv $cid turn ${t.turn_idx}")
+      }
+    }
+    val agree = oracle.count { case (k, v) => streamed(k) == v }
+    assert(agree.toDouble / oracle.size > 0.95,
+      s"agreement ${agree.toDouble / oracle.size}")
+  }
+
+  test("SQL functions: clean_text / scrub_text registered in the session") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    Seq(("x", "--- Page 3 ---\nMail a@b.co  42 "), ("y", "Ток frakking ϵ"))
+      .toDF("id", "text").createOrReplaceTempView("tv")
+    val rows = spark.sql(
+      """SELECT id, clean_text(text, 'pages') AS cleaned,
+                scrub_text(text) AS scrubbed FROM tv ORDER BY id""").collect()
+    // faithful stage-order quirk: page INDICATOR removal (T22 stage 9) eats
+    // "Page 3" inside the delimiter before delimiter removal (stage 10) runs
+    assert(rows(0).getString(1) === "---  ---\nMail a@b.co  42")
+    assert(rows(0).getString(2).contains("[EMAIL]"))
+    assert(rows(1).getString(2).contains("[REDACTED]"))
+    // unknown profile fails at analysis, not per row
+    intercept[Exception] {
+      spark.sql("SELECT clean_text(text, 'nope') FROM tv").collect()
+    }
+    spark.catalog.dropTempView("tv")
+  }
+}
