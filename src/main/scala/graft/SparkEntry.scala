@@ -300,6 +300,37 @@ object SparkEntry {
       val applyPat = udf((t: String) =>
         if (t == null) null else pat.matcher(t).replaceAll(""))
       docs(s, dir).select(col("doc_id"), applyPat(col("text")).as("filtered"))
+    }),
+
+    // T12+T13+T10: tokenize, drop stop words, lowercase (engine tokenizer
+    // spec; byte-level parity covered by kernel golden tests)
+    "q28_tokenize_stop" -> ((s, dir) => {
+      val cfg = CleanConfig(wordTokenization = true, removeStopWords = true,
+        lowercase = true)
+      docs(s, dir).select(col("doc_id"), CleanText(col("text"), cfg).as("tokens"))
+    }),
+
+    // T1 character filter with the reference's \b-wrapping + escaping rules
+    "q29_char_filter" -> ((s, dir) => {
+      val cfg = CleanConfig(charsToRemove = Seq("table", "the", "$"))
+      docs(s, dir).select(col("doc_id"), CleanText(col("text"), cfg).as("filtered"))
+    }),
+
+    // the full all-stages-on reference chain over unicode-heavy synthetic
+    // turns (T22 fixed order, all 19 operators)
+    "q30_full_chain" -> ((s, dir) => {
+      synthTurns(s, dir)
+        .select(col("conv_id"), col("turn_idx"),
+          CleanText(col("text"), CleanConfig.allOn).as("cleaned"))
+    }),
+
+    // per-partition lineage/metrics table from a checkpointed run
+    "q31_lineage_metrics" -> ((s, dir) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
+      graft.run.CheckpointedRun.run(s, synthTurns(s, dir), out, nBuckets = 16)
+      graft.run.CheckpointedRun.metrics(s, out)
+        .select(col("bucket"), col("rows"), col("kept"))
+        .orderBy("bucket")
     })
   )
 
@@ -395,6 +426,10 @@ object SparkEntry {
              '---\s*Page\s+\d+\s*---', '', 'g'),
              '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
            AS cleaned FROM documents""",
+      "q29_char_filter" ->
+        """SELECT doc_id,
+           trim(regexp_replace(text, '(?i)\btable\b|\bthe\b|\$', '', 'g')) AS filtered
+           FROM documents""",
       "q25_bpe_tokens" ->
         """SELECT doc_id,
            len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')) AS n_bpe_tokens
