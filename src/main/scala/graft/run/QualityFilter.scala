@@ -39,7 +39,8 @@ object QualityFilter {
       spark: SparkSession,
       turns: Dataset[Turn],
       cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
-      filterCfg: FilterConfig = FilterConfig()
+      filterCfg: FilterConfig = FilterConfig(),
+      inputBucketed: Boolean = false
   ): DataFrame = {
     val sc = spark.sparkContext
     val lidB = sc.broadcast(LangId.model)
@@ -70,12 +71,17 @@ object QualityFilter {
     // shuffle BYTES, but the downstream cost here is CPU per row (regex +
     // models), so byte-based coalescing serializes the whole pipeline onto a
     // handful of cores. Explicit N opts this exchange out of AQE coalescing.
+    // When the input table is already conv_id-bucketed + sorted
+    // (TranscriptTable), the scan itself satisfies the window: ZERO shuffles.
     val nPart = math.max(
       spark.sessionState.conf.numShufflePartitions,
       spark.sparkContext.defaultParallelism)
-    turns
-      .repartition(nPart, col("conv_id"))
-      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+    val parted =
+      if (inputBucketed) turns.toDF()
+      else turns
+        .repartition(nPart, col("conv_id"))
+        .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+    parted
       .withColumn("clean_text", CleanText(col("text"), cleanCfg))
       .withColumn("a", analyze(col("clean_text"), col("role")))
       .withColumn("cross_repeat", crossRepeat)

@@ -46,6 +46,11 @@ object TextCorpus {
       (length(col("text")) > PreviewCharLimit).as("truncated")
     )
 
+  /** Remove documents by path set / clear (reference FileManager
+    * remove_files/clear, src/CorpusAid.py:807-816). */
+  def remove(df: DataFrame, paths: Seq[String]): DataFrame =
+    df.filter(!col("file_path").isin(paths: _*))
+
   /** Sink: the reference overwrites source files keeping one `.bak`
     * (src/CorpusAid.py:2383-2418). The Spark-native contract is a versioned
     * columnar sink — partitioned parquet per run directory; the previous run

@@ -53,6 +53,25 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(plan.contains("clean_text") && plan.contains("scrub_text"))
   }
 
+  test("bucketed input table → ZERO-shuffle pipeline; output identical") {
+    val turns = TranscriptGen.dataset(spark, 150, megaTurns = 100)
+    graft.run.TranscriptTable.writeBucketed(turns, "transcripts_b", buckets = 8)
+    val bucketed = graft.run.TranscriptTable.read(spark, "transcripts_b")
+    val df = QualityFilter(spark, bucketed, inputBucketed = true)
+    val plan = executedPlan(df)
+    assert(!"ShuffleExchange|Exchange hashpartitioning".r.findFirstIn(plan).isDefined,
+      s"bucketed input must not shuffle:\n$plan")
+
+    // identical verdicts to the shuffling path
+    val viaShuffle = QualityFilter(spark, turns)
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+    val viaBucketed = df
+      .select("conv_id", "turn_idx", "keep", "scrubbed_text").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getBoolean(2), r.getString(3))).toMap
+    assert(viaBucketed === viaShuffle)
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one key with 10k rows, 50 keys with 10 rows
