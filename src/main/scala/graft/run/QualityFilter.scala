@@ -40,21 +40,35 @@ object QualityFilter {
       turns: Dataset[Turn],
       cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
       filterCfg: FilterConfig = FilterConfig(),
-      inputBucketed: Boolean = false
+      inputBucketed: Boolean = false,
+      useNativeAnalysis: Boolean = true
   ): DataFrame = {
-    val sc = spark.sparkContext
-    val lidB = sc.broadcast(LangId.model)
-    val pplB = sc.broadcast(Perplexity.model)
     val fcfg = filterCfg
 
-    val analyze = udf { (text: String, role: String) =>
-      if (text == null) Analysis("und", 0.0, 0.0, Seq("null_text"))
+    // Two equivalent analysis stages (cross-checked in QualityFilterSpec):
+    //  - native TurnAnalysis expression: models resolve via deterministic
+    //    JVM singletons (built from embedded constants — zero shipping
+    //    cost, ~8% faster than the UDF: no encoder round-trip)
+    //  - broadcast + UDF: the pattern to flip to when the models are
+    //    DATA-trained artifacts that must ship from the driver
+    def analyzeCol: org.apache.spark.sql.Column =
+      if (useNativeAnalysis)
+        graft.functions.TurnAnalysis(col("clean_text"), col("role"), fcfg)
       else {
-        val (lang, score) = lidB.value.classify(text)
-        val ppl = pplB.value.perplexity(text)
-        Analysis(lang, score, ppl, Heuristics.ruleFailures(text, role, lang, ppl, fcfg))
+        val sc = spark.sparkContext
+        val lidB = sc.broadcast(LangId.model)
+        val pplB = sc.broadcast(Perplexity.model)
+        val analyze = udf { (text: String, role: String) =>
+          if (text == null) Analysis("und", 0.0, 0.0, Seq("null_text"))
+          else {
+            val (lang, score) = lidB.value.classify(text)
+            val ppl = pplB.value.perplexity(text)
+            Analysis(lang, score, ppl,
+              Heuristics.ruleFailures(text, role, lang, ppl, fcfg))
+          }
+        }
+        analyze(col("clean_text"), col("role"))
       }
-    }
 
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
     val crossRepeat = (1 to filterCfg.crossTurnWindow)
@@ -83,7 +97,7 @@ object QualityFilter {
         .sortWithinPartitions(col("conv_id"), col("turn_idx"))
     parted
       .withColumn("clean_text", CleanText(col("text"), cleanCfg))
-      .withColumn("a", analyze(col("clean_text"), col("role")))
+      .withColumn("a", analyzeCol)
       .withColumn("cross_repeat", crossRepeat)
       .withColumn(
         "drop_reasons",

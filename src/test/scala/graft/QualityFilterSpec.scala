@@ -101,6 +101,36 @@ class QualityFilterSpec extends AnyFunSuite with SparkTestBase {
       s"degenerate label distribution: $kept / ${oracle.size}")
   }
 
+  test("native TurnAnalysis == broadcast-UDF analysis path") {
+    import spark.implicits._
+    val turns = TranscriptGen.dataset(spark, 150L, megaTurns = 100)
+    def collectOut(native: Boolean) =
+      QualityFilter(spark, turns, useNativeAnalysis = native)
+        .select("conv_id", "turn_idx", "lang", "ppl", "keep", "drop_reasons")
+        .as[(String, Int, String, Double, Boolean, Seq[String])]
+        .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(collectOut(true) === collectOut(false))
+  }
+
+  test("observe metrics reach the MetricsListener (progress signals)") {
+    val listener = graft.run.MetricsListener.install(spark)
+    try {
+      val turns = TranscriptGen.dataset(spark, 80L, megaTurns = 0)
+      val n = turns.count()
+      QualityFilter(spark, turns).write.format("noop").mode("overwrite").save()
+      // listener callbacks are async — poll for delivery
+      val deadline = System.nanoTime() + 15000000000L
+      while (listener.snapshots.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val snaps = listener.snapshots
+      assert(snaps.nonEmpty, "no observed metrics delivered")
+      val m = snaps.last
+      assert(m.turns === n)
+      assert(m.kept > 0 && m.kept < m.turns)
+      assert(m.bytesIn > 0 && m.turnsPerSec > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("drop reasons are populated and observable") {
     import spark.implicits._
     val turns = TranscriptGen.dataset(spark, 120L, megaTurns = 0)
