@@ -324,6 +324,30 @@ object SparkEntry {
           CleanText(col("text"), CleanConfig.allOn).as("cleaned"))
     }),
 
+    // conversation-level exact dedup: fingerprint = md5 of turn texts
+    // concatenated in stable turn order (hierarchical dedup over events as
+    // the stand-in conversation table: user_id = conversation)
+    "q32_conv_dedup" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("event_id"), col("event_type")))),
+            x => x("event_type")),
+          "").cast("binary")).as("conv_md5"))
+        .groupBy("conv_md5")
+        .agg(min(col("user_id")).as("user_id"), count(lit(1)).as("n_convs"))
+        .select("user_id", "n_convs")
+    }),
+
+    // drop-reason breakdown over the flagship output (explode + groupBy)
+    "q33_drop_reasons" -> ((s, dir) => {
+      QualityFilter(s, synthTurns(s, dir))
+        .select(explode(col("drop_reasons")).as("reason"))
+        .groupBy("reason").count()
+        .orderBy("reason")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -426,6 +450,13 @@ object SparkEntry {
              '---\s*Page\s+\d+\s*---', '', 'g'),
              '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
            AS cleaned FROM documents""",
+      "q32_conv_dedup" ->
+        """WITH fp AS (
+             SELECT user_id,
+               md5(string_agg(event_type, '' ORDER BY event_id)) AS conv_md5
+             FROM events GROUP BY user_id)
+           SELECT min(user_id) AS user_id, count(*) AS n_convs
+           FROM fp GROUP BY conv_md5""",
       "q29_char_filter" ->
         """SELECT doc_id,
            trim(regexp_replace(text, '(?i)\btable\b|\bthe\b|\$', '', 'g')) AS filtered
