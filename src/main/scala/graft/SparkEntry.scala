@@ -234,6 +234,17 @@ object SparkEntry {
       graft.sim.Ann.lshTopK(s, emb, queries, k = 10)
     }),
 
+    // IVF-indexed ANN (coarse k-means lists, nProbe probing; recall vs
+    // exact asserted in ScalaTest on clustered data)
+    "q34_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      val index = graft.sim.Ivf.train(s, emb, k = 32)
+      graft.sim.Ivf.topK(s, emb, index, queries, k = 10, nProbe = 8)
+    }),
+
     // embedding-cosine near-dup pairs; deterministic planted near-copies
     // (vec_id+1000000) guarantee a non-degenerate result at every sf
     "q21_embed_neardup" -> ((s, dir) => {

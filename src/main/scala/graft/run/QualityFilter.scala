@@ -121,6 +121,17 @@ object QualityFilter {
       )
   }
 
+  /** Typed boundary (input_hint mandates typed Dataset at the API surface). */
+  def typed(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Dataset[graft.model.CleanedTurn] = {
+    import spark.implicits._
+    apply(spark, turns, cleanCfg, filterCfg).as[graft.model.CleanedTurn]
+  }
+
   /** Sequential single-threaded evaluation of the SAME spec — the oracle the
     * distributed pipeline is checked against (keep/drop F1 and byte-exact
     * scrubbed text, BASELINE.md targets). Uses the same pure kernels but an

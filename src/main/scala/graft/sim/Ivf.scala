@@ -1,0 +1,147 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen.mix64
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * companion to the hyperplane LSH in [[Ann]].
+  *
+  * Index build: k-means coarse centroids trained DETERMINISTICALLY on a
+  * hash-selected sample (driver-side Lloyd iterations — the sample is
+  * bounded, the corpus is not), then one distributed pass assigns every
+  * vector to its nearest centroid (broadcast centroids). The assignment is
+  * the partition key: at production scale the lists are written bucketed by
+  * centroid so queries touch only nProbe lists.
+  *
+  * Query: probe the nProbe nearest centroids' lists with the same bounded
+  * per-partition heaps as the exact path.
+  */
+object Ivf {
+
+  final case class Index(centroids: Array[Array[Float]]) extends Serializable {
+    def nearest(v: Array[Float], n: Int): Array[Int] =
+      centroids.indices
+        .map(i => (i, Ann.cosine(v, centroids(i))))
+        .sortBy { case (i, s) => (-s, i) }
+        .take(n).map(_._1).toArray
+  }
+
+  /** Deterministic sample: vectors whose id-hash falls lowest; driver-side
+    * Lloyd with cosine assignment. */
+  def train(
+      spark: SparkSession,
+      corpus: DataFrame, // vec_id, embedding
+      k: Int,
+      sampleSize: Int = 4096,
+      iterations: Int = 5,
+      seed: Long = 17L
+  ): Index = {
+    import spark.implicits._
+    val sample = corpus
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (mix64(seed ^ id), v) }
+      .orderBy(col("_1"))
+      .limit(sampleSize)
+      .collect()
+      .map(_._2)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+
+    // init: first k distinct sample points in hash order
+    var centroids = sample.take(k).map(_.clone())
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Int](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestS = Double.MinValue
+        var c = 0
+        while (c < centroids.length) {
+          val s = Ann.cosine(v, centroids(c))
+          if (s > bestS) { bestS = s; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = new Array[Float](dim)
+          var d = 0
+          while (d < dim) { m(d) = (sums(c)(d) / counts(c)).toFloat; d += 1 }
+          m
+        }
+      }.toArray
+      it += 1
+    }
+    Index(centroids)
+  }
+
+  /** Assign each corpus vector to its coarse list. */
+  def assign(spark: SparkSession, corpus: DataFrame, index: Index): DataFrame = {
+    val idxB = spark.sparkContext.broadcast(index)
+    val listUdf = udf((v: Array[Float]) => idxB.value.nearest(v, 1)(0))
+    corpus.withColumn("list_id", listUdf(col("embedding")))
+  }
+
+  /** Top-k search probing nProbe lists per query. */
+  def topK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      index: Index,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val idxB = spark.sparkContext.broadcast(index)
+    // list_id -> queries probing it
+    val probes: Map[Int, Array[(Long, Array[Float], Double)]] =
+      queries
+        .flatMap { case (qid, qv) =>
+          idxB.value.nearest(qv, nProbe).map(l => l -> ((qid, qv, Ann.norm(qv))))
+        }
+        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+    val probesB = spark.sparkContext.broadcast(probes)
+
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
+    val assigned = assign(spark, corpus, index)
+    val partial = assigned
+      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .as[(Long, Array[Float], Int)]
+      .mapPartitions { iter =>
+        val pr = probesB.value
+        val acc = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        iter.foreach { case (vid, emb, list) =>
+          pr.get(list).foreach { qs =>
+            val en = Ann.norm(emb)
+            qs.foreach { case (qid, qv, qn) =>
+              val denom = en * qn
+              val score = if (denom == 0.0) 0.0 else Ann.dot(qv, emb) / denom
+              val h = acc.getOrElseUpdate(qid,
+                new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+              if (h.size < k) h.enqueue((score, vid))
+              else if (ord.lt((score, vid), h.head)) { h.dequeue(); h.enqueue((score, vid)) }
+            }
+          }
+        }
+        acc.iterator.flatMap { case (qid, h) => h.iterator.map { case (s, v) => (qid, v, s) } }
+      }
+      .toDF("query_id", "vec_id", "score")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"), col("rank"))
+  }
+}

@@ -121,6 +121,23 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.8, f"recall $recall%.3f too low on clustered data")
   }
 
+  test("IVF ANN recall vs exact baseline on clustered data") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.take(10)
+    val k = 10
+    val index = graft.sim.Ivf.train(spark, df, k = 24)
+    assert(index.centroids.length === 24)
+    val exact = Ann.bruteForceTopK(spark, df, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val approx = graft.sim.Ivf.topK(spark, df, index, queries, k, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"ivf ann recall = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f too low on clustered data")
+  }
+
   test("embedding near-dup pairs: planted duplicate is found") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
