@@ -19,6 +19,11 @@ object TextKernels {
 
   private val UFLAGS = Pattern.UNICODE_CHARACTER_CLASS
 
+  /** Python re's `\w` = str.isalnum() ∪ '_' — i.e. L* ∪ N* (INCLUDING No/Nl
+    * numerics like ² ½ ₃, which Java's (?U)\w excludes) ∪ underscore. Used
+    * wherever the reference pattern says \w or \b. */
+  private val PYW = "[\\p{L}\\p{N}_]"
+
   /** Python `str.strip()` parity: Python strips code points where
     * `str.isspace()` — Unicode Zs/Zl/Zp plus the control whitespace
     * \t\n\v\f\r\x1c-\x1f\x85. Java's `String.strip` misses NBSP-family Zs
@@ -79,7 +84,7 @@ object TextKernels {
   // T1 CharacterFilterModule (src/CorpusAid.py:197-225)
   // ---------------------------------------------------------------------
 
-  private val wordOnly = Pattern.compile("^\\w+$", UFLAGS)
+  private val wordOnly = Pattern.compile("^" + PYW + "+$", UFLAGS)
 
   /** Builds the T1 alternation pattern from user sequences: each sequence is
     * escaped; sequences of only word characters are wrapped in \b…\b; joined
@@ -89,7 +94,9 @@ object TextKernels {
     else {
       val parts = charsToRemove.map { seq =>
         val esc = reEscape(seq)
-        if (wordOnly.matcher(seq).matches()) "\\b" + esc + "\\b" else esc
+        if (wordOnly.matcher(seq).matches())
+          s"(?<!$PYW)" + esc + s"(?!$PYW)" // python-\b parity at both ends
+        else esc
       }
       Some(
         Pattern.compile(
@@ -107,7 +114,7 @@ object TextKernels {
   // ---------------------------------------------------------------------
 
   // fullmatch(\s*\w\s*): a line that is exactly one word char + optional ws
-  private val singleCharLine = Pattern.compile("\\s*\\w\\s*", UFLAGS)
+  private val singleCharLine = Pattern.compile("\\s*" + PYW + "\\s*", UFLAGS)
   // soft line break: \n not preceded by ". " and not followed by blank line
   private val softBreak = Pattern.compile("(?<!\\.\\s)\\n(?!\\s*\\n)", UFLAGS)
   private val multiSpace = Pattern.compile("\\s{2,}", UFLAGS)
@@ -123,7 +130,8 @@ object TextKernels {
   // T3 PageNumberRemovalModule (src/CorpusAid.py:245-250)
   // ---------------------------------------------------------------------
 
-  private val pageNumber = Pattern.compile("(?m)^\\s*\\d{1,4}\\s*$", UFLAGS)
+  private val pageNumber =
+    Pattern.compile("(?md)^\\s*\\d{1,4}\\s*$", UFLAGS) // (?d): ^$ at \n only, like python
   def removePageNumbers(text: String): String =
     pageNumber.matcher(text).replaceAll("")
 
@@ -132,7 +140,7 @@ object TextKernels {
   // ---------------------------------------------------------------------
 
   private val romanPage =
-    Pattern.compile("(?m)^\\s*[IiVvXxLlCcDdMm]{1,7}\\s*$", UFLAGS)
+    Pattern.compile("(?md)^\\s*[IiVvXxLlCcDdMm]{1,7}\\s*$", UFLAGS)
   def removeRomanPageNumbers(text: String): String =
     romanPage.matcher(text).replaceAll("")
 
@@ -140,8 +148,9 @@ object TextKernels {
   // T5 PageIndicatorRemovalModule (src/CorpusAid.py:266-273)
   // ---------------------------------------------------------------------
 
-  private val pageIndicator =
-    Pattern.compile("\\b(?:[Pp]age|[Pp]ag\\.?)\\s+(?:\\d+|[IVXLCDM]+)\\b", UFLAGS)
+  private val pageIndicator = Pattern.compile(
+    s"(?<!$PYW)" + "(?:[Pp]age|[Pp]ag\\.?)\\s+(?:\\d+|[IVXLCDM]+)" + s"(?!$PYW)",
+    UFLAGS)
   def removePageIndicators(text: String): String =
     pageIndicator.matcher(text).replaceAll("")
 
@@ -200,10 +209,60 @@ object TextKernels {
   // T10 LowercaseModule (src/CorpusAid.py:322-324)
   // ---------------------------------------------------------------------
 
-  // Python str.lower() and Java String.toLowerCase(Locale.ROOT) both apply
-  // the full Unicode lowercase mappings including the contextual Final_Sigma
-  // rule (verified by the golden battery: ΣΊΣΥΦΟΣ → σίσυφος on both sides).
-  def lowercase(text: String): String = text.toLowerCase(Locale.ROOT)
+  // CPython's str.lower() final-sigma context rule (unicodeobject.c
+  // handle_capital_sigma): Σ → ς iff scanning BACKWARD over Case_Ignorable
+  // chars finds a Cased char AND scanning FORWARD over Case_Ignorable chars
+  // finds none. Java's SpecialCasing evaluation disagrees on several edge
+  // contexts (found by the fuzz battery, e.g. "²Σ-"), so sigmas are resolved
+  // here first and the rest delegated to toLowerCase(ROOT).
+
+  @inline private def isCasedCp(cp: Int): Boolean =
+    Character.isLowerCase(cp) || Character.isUpperCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
+
+  @inline private def isCaseIgnorableCp(cp: Int): Boolean = {
+    val t = Character.getType(cp)
+    t == Character.NON_SPACING_MARK || t == Character.ENCLOSING_MARK ||
+    t == Character.FORMAT || t == Character.MODIFIER_LETTER ||
+    t == Character.MODIFIER_SYMBOL ||
+    // WordBreak MidLetter / MidNumLet / Single_Quote members
+    cp == '\'' || cp == '.' || cp == ':' || cp == 0xB7 || cp == 0x387 ||
+    cp == 0x5F4 || cp == 0x2018 || cp == 0x2019 || cp == 0x2024 ||
+    cp == 0x2027 || cp == 0xFE13 || cp == 0xFE52 || cp == 0xFE55 ||
+    cp == 0xFF07 || cp == 0xFF0E || cp == 0xFF1A
+  }
+
+  private def isFinalSigma(s: String, i: Int): Boolean = {
+    var j = i - 1
+    var precededByCased = false
+    while (j >= 0 && !precededByCased) {
+      val cp = s.codePointBefore(j + 1)
+      if (isCaseIgnorableCp(cp)) j -= Character.charCount(cp)
+      else { precededByCased = isCasedCp(cp); j = -1 }
+    }
+    if (!precededByCased) return false
+    var k = i + 1
+    while (k < s.length) {
+      val cp = s.codePointAt(k)
+      if (isCaseIgnorableCp(cp)) k += Character.charCount(cp)
+      else return !isCasedCp(cp)
+    }
+    true
+  }
+
+  def lowercase(text: String): String = {
+    if (text.indexOf('\u03a3') < 0) return text.toLowerCase(Locale.ROOT)
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == '\u03a3')
+        sb.append(if (isFinalSigma(text, i)) '\u03c2' else '\u03c3')
+      else sb.append(c)
+      i += 1
+    }
+    sb.toString.toLowerCase(Locale.ROOT)
+  }
 
   // ---------------------------------------------------------------------
   // T11 RegexSubstitutionModule (src/CorpusAid.py:343-366)

@@ -97,19 +97,19 @@ object CleanPipeline {
       b += Stage(
         "remove_page_numbers",
         TextKernels.removePageNumbers,
-        Some(rr(U + "(?m)^\\s*\\d{1,4}\\s*$"))
+        Some(rr(U + "(?md)^\\s*\\d{1,4}\\s*$"))
       )
     if (cfg.removeRomanPageNumbers)
       b += Stage(
         "remove_roman_page_numbers",
         TextKernels.removeRomanPageNumbers,
-        Some(rr(U + "(?m)^\\s*[IiVvXxLlCcDdMm]{1,7}\\s*$"))
+        Some(rr(U + "(?md)^\\s*[IiVvXxLlCcDdMm]{1,7}\\s*$"))
       )
     if (cfg.removePageIndicators)
       b += Stage(
         "remove_page_indicators",
         TextKernels.removePageIndicators,
-        Some(rr(U + "\\b(?:[Pp]age|[Pp]ag\\.?)\\s+(?:\\d+|[IVXLCDM]+)\\b"))
+        Some(rr(U + "(?<![\\p{L}\\p{N}_])(?:[Pp]age|[Pp]ag\\.?)\\s+(?:\\d+|[IVXLCDM]+)(?![\\p{L}\\p{N}_])"))
       )
     if (cfg.removePageDelimiters)
       b += Stage(
@@ -125,8 +125,11 @@ object CleanPipeline {
       )
 
     // 3. Transformation
+    // lowercase is kernel-only: Spark's builtin lower() inherits Java's
+    // final-sigma context evaluation, which diverges from CPython's on edge
+    // contexts like "²Σ-" (see TextKernels.lowercase / the fuzz battery)
     if (cfg.lowercase)
-      b += Stage("lowercase", TextKernels.lowercase, Some(c => lower(c)))
+      b += Stage("lowercase", TextKernels.lowercase, None)
     if (cfg.stripHtml)
       b += Stage("strip_html", TextKernels.stripHtml, None)
 

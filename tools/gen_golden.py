@@ -128,6 +128,23 @@ GENERAL = [
     "(Brown 1999) (brown 1999) (B 2000) (Browne)",
 ]
 
+def fuzz_strings(n=200, seed=1234):
+    """Seeded fuzz: random compositions of text atoms incl. unicode edge
+    material, newlines, page artifacts — broadens the parity battery."""
+    import random
+    rng = random.Random(seed)
+    atoms = ["word", "Foo", "42", "1234", "xiv", "I", " ", "  ", "\t", "\n",
+             "\n\n", ". ", ",", "(Smith 2020)", "--- Page 7 ---", "Page 12",
+             "pag. IX", "é", "ü", "ß", "αβ", "Ж", "²", "₃", "ﬁ", "Ａ", "½",
+             "İ", "Σ", "ΟΣ ", "don't", "a", "e.g.", "$", "#", "x" * 30,
+             " ", " ", "…", "<b>", "</b>", "&amp;", ":", ";", "?"]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 20)
+        out.append("".join(rng.choice(atoms) for _ in range(k)))
+    return out
+
+
 def cases():
     out = []
     def add(op, inp, exp, note=""):
@@ -188,6 +205,19 @@ def cases():
         for fn in chain_ops:
             t = fn(t)
         add("full_chain_python_exact", inp, t.strip())
+
+    # fuzz battery: every simple op + the full chain over 200 seeded strings
+    fuzz = fuzz_strings()
+    for op, fn in simple_ops.items():
+        for inp in fuzz:
+            add(op, inp, fn(inp))
+    for inp in fuzz:
+        t = inp
+        for fn in chain_ops:
+            t = fn(t)
+        add("full_chain_python_exact", inp, t.strip())
+        add("py_strip", inp, inp.strip())
+        add("split_word_count", inp, str(wc_split(inp)))
 
     return out
 
