@@ -359,6 +359,24 @@ object SparkEntry {
         .orderBy("reason")
     }),
 
+    // grouping-set aggregation (rollup) — beyond the reference's flat aggs
+    "q35_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // approximate distinct (HLL) next to the exact count; tolerance
+    // asserted in ScalaTest (HLL sketches differ across engines, so the
+    // driver check is rows-only on the exact column ordering)
+    "q36_approx_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -461,6 +479,11 @@ object SparkEntry {
              '---\s*Page\s+\d+\s*---', '', 'g'),
              '\([A-Z][a-z]+(?:[^()]*?\d{4}[^()]*?)?\)', '', 'g')))
            AS cleaned FROM documents""",
+      "q35_rollup" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+           cast(sum(cast(l_quantity as decimal(18,2))) as double) AS sum_qty
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
       "q32_conv_dedup" ->
         """WITH fp AS (
              SELECT user_id,

@@ -72,6 +72,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(viaBucketed === viaShuffle)
   }
 
+  test("approx_count_distinct stays within its error bound") {
+    val row = SparkEntry.queries("q36_approx_distinct")(spark, sf).collect()(0)
+    val exact = row.getLong(0).toDouble
+    val approx = row.getLong(1).toDouble
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one key with 10k rows, 50 keys with 10 rows
