@@ -40,7 +40,10 @@ object Bench {
     // staged to parquet first (untimed) — production reads a table scan
     import spark.implicits._
     val sf = SparkEntry.sfOf(sfDir)
-    val nConvs = math.max(100L, (sf * 100000).toLong)
+    // 4x the query-battery scale: the flagship number is a THROUGHPUT
+    // metric and needs enough rows to amortize fixed job overheads
+    // (BASELINE.md documents the 2.7M-turn reference measurements)
+    val nConvs = math.max(400L, (sf * 400000).toLong)
     val stage = Scaling.stagedInput(spark, nConvs)
     val turns = spark.read.parquet(stage).as[graft.model.Turn]
     val nTurns = turns.count()
