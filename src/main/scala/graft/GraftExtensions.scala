@@ -18,8 +18,25 @@ import graft.scrub.ScrubText
   *   GraftExtensions.register(spark) on an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.definitions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => ElideIdentityCleanText)
+  }
+}
+
+/** Custom Catalyst optimizer rule: a CleanText whose config is the
+  * reference's all-params-falsy identity short-circuit
+  * (src/CorpusAid.py:689-691) evaluates to its child — eliding the
+  * expression at PLAN time instead of per row. */
+object ElideIdentityCleanText
+    extends org.apache.spark.sql.catalyst.rules.Rule[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  ): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case CleanText(child, cfg) if cfg.isIdentity => child
+    }
 }
 
 object GraftExtensions {
@@ -53,10 +70,14 @@ object GraftExtensions {
 
   /** Register into an ALREADY-BUILT session (the `spark.sql.extensions`
     * conf only applies at session build time). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     definitions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(ElideIdentityCleanText))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ElideIdentityCleanText
+  }
 
   /** Named cleaning profiles available from SQL. */
   def profile(name: String): CleanConfig = name match {

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.gen.TranscriptGen
@@ -78,5 +79,30 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("SELECT clean_text(text, 'nope') FROM tv").collect()
     }
     spark.catalog.dropTempView("tv")
+  }
+
+  test("optimizer rule: identity-config CleanText elides at plan time") {
+    import spark.implicits._
+    graft.GraftExtensions.register(spark)
+    val df = Seq("  raw \n").toDF("text")
+      .withColumn("out", graft.functions.CleanText(col("text"), graft.model.CleanConfig()))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("clean_text"), s"rule did not fire:\n$optimized")
+    // identity semantics preserved byte-exactly (no strip)
+    assert(df.collect()(0).getString(1) === "  raw \n")
+  }
+
+  test("pipeline is null-safe end to end") {
+    import spark.implicits._
+    val turns = Seq(
+      graft.model.Turn("c0", 0, "user", null, "", new java.sql.Timestamp(0L)),
+      graft.model.Turn("c0", 1, "user", "a normal turn of text here", "", new java.sql.Timestamp(1L))
+    ).toDS()
+    val out = graft.run.QualityFilter(spark, turns)
+      .select("turn_idx", "keep", "drop_reasons", "scrubbed_text").collect()
+      .map(r => r.getInt(0) -> ((r.getBoolean(1), r.getSeq[String](2), r.getString(3)))).toMap
+    assert(out(0)._1 === false)
+    assert(out(0)._2 === Seq("null_text"))
+    assert(out(0)._3 === null)
   }
 }
