@@ -59,7 +59,10 @@ object CheckpointedRun {
   def readManifest(out: String): Seq[BucketEntry] = {
     val p = manifestPath(out)
     if (!Files.exists(p)) return Nil
-    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    parseManifest(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+  }
+
+  private def parseManifest(txt: String): Seq[BucketEntry] =
     """\{[^}]*\}""".r.findAllIn(txt).toSeq.flatMap { obj =>
       def field(k: String): Option[String] =
         (k + "\":\\s*\"?([^,\"}]+)").r.findFirstMatchIn(obj).map(_.group(1))
@@ -68,7 +71,6 @@ object CheckpointedRun {
         w <- field("wallMs"); f <- field("fingerprint")
       } yield BucketEntry(b.toInt, r.toLong, kp.toLong, w.toLong, f)
     }
-  }
 
   def writeManifest(out: String, entries: Seq[BucketEntry]): Unit = {
     val json = entries
@@ -81,6 +83,36 @@ object CheckpointedRun {
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestPath(out), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // snapshot history — the Iceberg-snapshot / reference-undo-history
+    // analog (src/CorpusAid.py:541-567): every commit appends an immutable
+    // numbered manifest version under _graft_snapshots/
+    val snapDir = Paths.get(out, "_graft_snapshots")
+    Files.createDirectories(snapDir)
+    val v = snapshots(out).lastOption.getOrElse(0) + 1
+    Files.write(snapDir.resolve(f"v$v%05d.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Committed manifest versions, ascending. */
+  def snapshots(out: String): Seq[Int] = {
+    val dir = Paths.get(out, "_graft_snapshots")
+    if (!Files.exists(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.substring(1, s.length - 5).toInt }
+        .toSeq.sorted
+    }
+  }
+
+  /** Lineage as of a given snapshot version (manifest time travel). */
+  def manifestAt(out: String, version: Int): Seq[BucketEntry] = {
+    val p = Paths.get(out, "_graft_snapshots", f"v$version%05d.json")
+    if (!Files.exists(p)) return Nil
+    val txt = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    parseManifest(txt)
   }
 
   /** Run (or resume) the pipeline; returns the per-bucket lineage written in

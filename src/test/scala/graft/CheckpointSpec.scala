@@ -81,6 +81,27 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(fresh.size === nBuckets, "new fingerprint must recompute everything")
   }
 
+  test("manifest snapshots: every commit appends an immutable version") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(CheckpointedRun.snapshots(out) === Seq(1))
+    // simulate a lost bucket + resume: a second snapshot appears
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(_.bucket == 3))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(out, "bucket=3"))
+      .iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val versions = CheckpointedRun.snapshots(out)
+    assert(versions.size === 3) // initial + truncated + resumed
+    // time travel: version 1 already had all buckets; truncated v2 lacks 3
+    assert(CheckpointedRun.manifestAt(out, 1).map(_.bucket).sorted === (0 until nBuckets))
+    assert(!CheckpointedRun.manifestAt(out, 2).exists(_.bucket == 3))
+    assert(CheckpointedRun.manifestAt(out, versions.last).map(_.bucket).sorted
+      === (0 until nBuckets))
+  }
+
   test("lineage metrics table is queryable") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 50, megaTurns = 0)
