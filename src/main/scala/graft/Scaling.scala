@@ -43,6 +43,9 @@ object Scaling {
       .master(s"local-cluster[$nExecutors,$coresPerExec,8192]")
       .config("spark.executor.extraClassPath", "/root/repo/target/scala-2.13/classes")
       .config("spark.executor.memory", "7g")
+      // throughput GC for the batch pipeline (default G1 trades throughput
+      // for pause targets this job does not need)
+      .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
       .config("spark.sql.shuffle.partitions", cores * 3) // 3x cores: multi-wave stages absorb skew stragglers
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
