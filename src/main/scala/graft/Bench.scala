@@ -6,7 +6,18 @@ import org.apache.spark.sql.SparkSession
   * (forced through the noop sink so column pruning cannot skip the work) and
   * measures flagship pipeline throughput in turns/sec. Emits ONE JSON line:
   * {"metric":"total","value":<sum sec>,"unit":"sec","queries":{...},
-  *  "sf":"...","flagship_turns":N,"flagship_sec":s,"turns_per_sec":r}.
+  *  "errors":{...},"sf":"...","flagship_turns":N,"flagship_sec":s,
+  *  "turns_per_sec":r}.
+  *
+  * Machine-readability contract: the JSON line goes to BOTH stdout
+  * (unprefixed — build.sbt sets run/outputStrategy := StdoutOutput) and the
+  * file named by SPARK_GRAFT_BENCH_OUT (default bench_out.json in cwd).
+  * Queries that THROW are excluded from "value" and recorded under "errors"
+  * so a failure can never silently read as a fast success.
+  *
+  * Iteration helper: SPARK_GRAFT_ONLY=q16,q31 runs only queries whose name
+  * starts with one of the comma-separated prefixes (flagship skipped unless
+  * "flagship" is listed).
   */
 object Bench {
 
@@ -16,6 +27,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,33 +43,55 @@ object Bench {
     // JIT/codegen warmup on the smallest sf
     try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => selected(name) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch {
+          case e: Throwable =>
+            errors(name) = e.toString.take(200)
+            System.err.println(s"[bench] $name FAILED: $e")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
 
     // flagship throughput: full pipeline over the sf-scaled synthetic table,
     // staged to parquet first (untimed) — production reads a table scan
     import spark.implicits._
     val sf = SparkEntry.sfOf(sfDir)
-    // 4x the query-battery scale: the flagship number is a THROUGHPUT
-    // metric and needs enough rows to amortize fixed job overheads
-    // (BASELINE.md documents the 2.7M-turn reference measurements)
-    val nConvs = math.max(400L, (sf * 400000).toLong)
-    val stage = Scaling.stagedInput(spark, nConvs)
-    val turns = spark.read.parquet(stage).as[graft.model.Turn]
-    val nTurns = turns.count()
-    val t0 = System.nanoTime()
-    force(graft.run.QualityFilter(spark, turns))
-    val flagshipSec = (System.nanoTime() - t0) / 1e9
-    val tps = nTurns / flagshipSec
+    var nTurns = 0L
+    var flagshipSec = 0.0
+    if (only.forall(_.contains("flagship"))) {
+      // 4x the query-battery scale: the flagship number is a THROUGHPUT
+      // metric and needs enough rows to amortize fixed job overheads
+      // (BASELINE.md documents the 2.7M-turn reference measurements)
+      val nConvs = math.max(400L, (sf * 400000).toLong)
+      val stage = Scaling.stagedInput(spark, nConvs)
+      val turns = spark.read.parquet(stage).as[graft.model.Turn]
+      nTurns = turns.count()
+      val t0 = System.nanoTime()
+      try force(graft.run.QualityFilter(spark, turns))
+      catch { case e: Throwable => errors("flagship") = e.toString.take(200) }
+      flagshipSec = (System.nanoTime() - t0) / 1e9
+    }
+    val tps = if (flagshipSec > 0) nTurns / flagshipSec else 0.0
 
+    val ok = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}""")
+    val errJson = errors
+      .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "'")}"""" }
+      .mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    val json =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
     spark.stop()
   }
 }

@@ -387,16 +387,24 @@ object SparkEntry {
     })
   )
 
+  /** Test/profiling access to [[dedupCorpus]]. */
+  def dedupCorpusPublic(s: SparkSession, dir: String): DataFrame =
+    dedupCorpus(s, dir)
+
   /** Shared corpus for the near-dup queries: distinct synthetic turn texts
     * with a stable numeric id (exact dups removed first so MinHash/SimHash
     * surface only NEAR duplicates). */
   private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+    // dedup on the 8-byte xxhash64 of the text, NOT on the text itself:
+    // the hash is the group key (and the stable id), so the exchange hashes/
+    // compares fixed-width longs instead of full strings, and map-side
+    // partial aggregation ships at most one text per (distinct id,
+    // partition). min(text) keeps the representative deterministic.
     synthTurns(s, dir)
       .select(col("text"))
       .filter(length(col("text")) > 20)
-      .dropDuplicates("text")
-      .withColumn("id", xxhash64(col("text")))
+      .groupBy(xxhash64(col("text")).as("id"))
+      .agg(min(col("text")).as("text"))
       .select("id", "text")
   }
 

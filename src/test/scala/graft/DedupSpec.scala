@@ -44,6 +44,29 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.95)
   }
 
+  test("minhash LSH shuffle-join path (forced big-corpus mode) matches small-mode result") {
+    import spark.implicits._
+    val df = corpus.toDF("id", "text")
+    val small = MinHashLSH.nearDuplicates(spark, df, MinHashLSH.Config())
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    // maxBroadcastBytes = 0 forces the 100-TB path: band vectors through the
+    // bucket shuffle, signature-prefilter join, text join for survivors
+    val big = MinHashLSH.nearDuplicates(spark, df, MinHashLSH.Config(maxBroadcastBytes = 0))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(big === small)
+  }
+
+  test("minhash bucket cap is accounted, not silent") {
+    import spark.implicits._
+    // 20 identical docs -> one bucket of 20 per band; cap at 8 must truncate
+    val dup = (0 until 20).map(i => (i.toLong, "identical text for every doc here"))
+    val cfg = MinHashLSH.Config(maxBucket = 8)
+    val (pairs, stats) = MinHashLSH.nearDuplicatesWithStats(spark, dup.toDF("id", "text"), cfg)
+    pairs.count() // materialized (localCheckpoint already ran, but be explicit)
+    assert(stats.truncatedBuckets.value > 0, "expected truncated buckets to be counted")
+    assert(stats.droppedIds.value > 0, "expected dropped bucket-memberships to be counted")
+  }
+
   test("jaccard kernel: identical=1, disjoint=0, known overlap") {
     val a = Shingles.charShingles("the quick brown fox jumps over the lazy dog")
     assert(Shingles.jaccard(a, a) === 1.0)
