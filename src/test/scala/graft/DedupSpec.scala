@@ -173,5 +173,14 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((emb(0)._1, 9001L)) || pairs.contains((9001L, emb(0)._1)),
       s"planted pair missing; got ${pairs.take(10)}")
+
+    // the 100-TB shuffle-join verify path (forced by a zero broadcast budget)
+    // must produce the identical pair set
+    val pairsLarge = Ann.nearDuplicatePairs(spark, df, minCosine = 0.98,
+        maxBroadcastBytes = 0L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairsLarge === pairs,
+      s"large-mode pairs diverge: only-small=${(pairs -- pairsLarge).take(5)} " +
+        s"only-large=${(pairsLarge -- pairs).take(5)}")
   }
 }

@@ -72,6 +72,37 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     assert(viaBucketed === viaShuffle)
   }
 
+  test("embed near-dup shuffles ≤ ~2× corpus embedding bytes (no replication)") {
+    import spark.implicits._
+    // measured at runtime, not plan-parsed: a regression back to 13× probe
+    // replication of the embedding arrays trips this bound immediately
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val dim = emb.as[(Long, Array[Float])].head()._2.length
+    val nVecs = emb.count()
+    val embBytes = nVecs * dim * 4L
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // force the 100-TB shuffle-join path
+      graft.sim.Ann.nearDuplicatePairs(spark, emb, minCosine = 0.98,
+        maxBroadcastBytes = 0L).collect()
+      Thread.sleep(1000) // let straggler task-end events drain
+      val written = shuffleWrite.get()
+      // 2× embedding joins + the compact (probe, id, sig) bucket exchange;
+      // 2.5× leaves headroom for codec/framing overhead while still failing
+      // hard on any replicated-embedding regression (≥ 8× even compressed)
+      assert(written < (2.5 * embBytes).toLong + (8L << 20),
+        s"shuffle wrote $written bytes vs corpus embeddings $embBytes")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("approx_count_distinct stays within its error bound") {
     val row = SparkEntry.queries("q36_approx_distinct")(spark, sf).collect()(0)
     val exact = row.getLong(0).toDouble
