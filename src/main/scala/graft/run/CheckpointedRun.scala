@@ -138,24 +138,31 @@ object CheckpointedRun {
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
       .filter(col("bucket").isin(pending: _*))
 
-    // one job: write pending buckets + collect their lineage counts
-    result.write
+    // ONE job: the lineage counts ride the write itself via observe()
+    // (CollectMetrics on the executors) — no second scan over the freshly
+    // written output (VERDICT r1 finding #4; at 100-TB output a read-back
+    // doubles the job)
+    val obs = org.apache.spark.sql.Observation(s"graft_lineage_$fp")
+    val metricCols = pending.flatMap { b =>
+      Seq(
+        count(when(col("bucket") === b, 1)).as(s"rows_$b"),
+        count(when(col("bucket") === b && col("keep"), 1)).as(s"kept_$b"))
+    }
+    result.observe(obs, metricCols.head, metricCols.tail: _*)
+      .write
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(outPath)
 
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val counts = spark.read.parquet(outPath)
-      .filter(col("bucket").isin(pending: _*))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("rows"), sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
-      .collect()
-      .map(r => BucketEntry(r.getInt(0), r.getLong(1), r.getLong(2), wallMs, fp))
-      .toSeq
-
-    // buckets with zero rows still need a commit marker
-    val zero = pending.toSet -- counts.map(_.bucket).toSet
-    val fresh = counts ++ zero.map(b => BucketEntry(b, 0L, 0L, wallMs, fp))
+    val observed = obs.get
+    // zero-row buckets get a commit marker from the same observed row
+    val fresh = pending.map { b =>
+      BucketEntry(b,
+        observed(s"rows_$b").asInstanceOf[Long],
+        observed(s"kept_$b").asInstanceOf[Long],
+        wallMs, fp)
+    }
     writeManifest(outPath, prior ++ fresh)
     fresh
   }

@@ -72,6 +72,40 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(CheckpointedRun.run(spark, turns, out, nBuckets).isEmpty)
   }
 
+  test("lineage counts ride the write (observe): no output read-back job") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 150, megaTurns = 100)
+
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val outputScanned = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        // any RDD in any stage whose name/scope mentions the output path
+        // would mean a read-back of what we just wrote
+        if (e.stageInfos.exists(_.rddInfos.exists(r =>
+            r.name != null && r.name.contains(out))))
+          outputScanned.set(true)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val fresh =
+      try CheckpointedRun.run(spark, turns, out, nBuckets)
+      finally {
+        Thread.sleep(500)
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    assert(!outputScanned.get(), "run() must not re-read its own output")
+    // write + AQE query stages only — the old read-back added 2+ more jobs
+    assert(jobs.get() <= 3, s"expected one write (<=3 AQE jobs), got ${jobs.get()}")
+
+    // the observed metrics equal the ground truth from a direct run
+    val direct = QualityFilter(spark, turns)
+    val keptTrue = direct.filter(col("keep")).count()
+    assert(fresh.map(_.rows).sum === turns.count())
+    assert(fresh.map(_.kept).sum === keptTrue)
+  }
+
   test("config change invalidates the checkpoint (fingerprint mismatch)") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 50, megaTurns = 0)
