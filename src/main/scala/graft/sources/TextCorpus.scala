@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *  - recursive directory scan for `*.txt`, case-insensitive
   *    (reference src/CorpusAid.py:751-756; Rust twin rust_preview/src/lib.rs:
   *    77-98) → `recursiveFileLookup` + `pathGlobFilter`
-  *  - one file = one record (Document) → `wholetext`
-  *  - encoding-tolerant UTF-8 (utf-8 errors="replace",
-  *    src/CorpusAid.py:141) → Spark's text source decodes UTF-8 with
-  *    replacement characters, same contract; byte-level charset detection is
-  *    irrelevant for parquet-era inputs
+  *  - one file = one record (Document) → `binaryFile` + total decode
+  *  - charset-detecting, never-fail decode (charset-normalizer in the
+  *    report path, src/CorpusAid.py:1786-1793; chardetng in the Rust twin,
+  *    rust_preview/src/lib.rs:43-57; utf-8 errors="replace" fallback,
+  *    src/CorpusAid.py:141) → [[CharsetDetect.decode]]: BOM sniff, UTF-16
+  *    NUL-parity heuristic, strict UTF-8 validation, windows-1252 fallback,
+  *    REPLACE on malformed — a latin-1 or cp1252 corpus decodes correctly
+  *    instead of mojibake
   *  - dedup by normalized path on add (src/CorpusAid.py:725-733)
   *    → dropDuplicates on the canonical path
   *  - bounded preview (5000 chars + truncation marker,
@@ -25,15 +28,23 @@ object TextCorpus {
   val PreviewTruncationMarker =
     "\n\n[Preview truncated. Open the file to view the full contents.]"
 
-  /** Load a corpus directory: one row per .txt file with its path. */
-  def read(spark: SparkSession, dir: String): DataFrame =
+  /** Load a corpus directory: one row per .txt file with its path, detected
+    * encoding, and the decoded text. Decode is total (never throws). */
+  def readWithEncoding(spark: SparkSession, dir: String): DataFrame = {
+    val decodeUdf = udf((bytes: Array[Byte]) => CharsetDetect.decode(bytes))
     spark.read
-      .option("wholetext", "true")
+      .format("binaryFile")
       .option("recursiveFileLookup", "true")
       .option("pathGlobFilter", "*.{txt,TXT,Txt,tXt,txT,TXt,TxT,tXT}")
-      .text(dir)
-      .select(input_file_name().as("file_path"), col("value").as("text"))
+      .load(dir)
+      .select(col("path").as("file_path"), decodeUdf(col("content")).as("d"))
+      .select(col("file_path"), col("d._1").as("text"), col("d._2").as("encoding"))
       .dropDuplicates("file_path")
+  }
+
+  /** Load a corpus directory: one row per .txt file with its path. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readWithEncoding(spark, dir).select("file_path", "text")
 
   /** The preview projection (UI affordance, per-row limit semantics). */
   def preview(df: DataFrame): DataFrame =

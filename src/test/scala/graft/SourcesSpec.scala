@@ -24,16 +24,36 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.forall(_._1.toLowerCase.endsWith("txt")))
   }
 
-  test("encoding tolerance: invalid UTF-8 bytes decode with replacement, never fail") {
+  test("charset detection: latin-1/cp1252/UTF-16/BOM files decode correctly, never fail") {
     val dir = Files.createTempDirectory("graft_corpus_enc_")
-    // latin-1 bytes that are invalid UTF-8 (0xE9 = é in latin-1)
+    // latin-1 bytes invalid as UTF-8 (0xE9 = é) — detector must pick cp1252
     Files.write(Paths.get(dir.toString, "l1.txt"),
       Array[Byte]('c', 'a', 'f', 0xE9.toByte, ' ', 'o', 'k'))
-    val out = TextCorpus.read(spark, dir.toString).collect()
-    assert(out.length === 1)
-    val text = out(0).getString(1)
-    assert(text.startsWith("caf") && text.endsWith(" ok"))
-    assert(text.contains("�"), s"expected replacement char in: $text")
+    // windows-1252-specific range: 0x93/0x94 curly quotes, 0x97 em-dash
+    Files.write(Paths.get(dir.toString, "cp1252.txt"),
+      Array[Byte](0x93.toByte, 'h', 'i', 0x94.toByte, ' ', 0x97.toByte, ' ', 'x'))
+    // UTF-16LE with BOM, UTF-16BE without BOM, UTF-8 with BOM
+    Files.write(Paths.get(dir.toString, "u16le.txt"),
+      "café sixteen le".getBytes("UTF-16LE") match {
+        case b => Array[Byte](0xFF.toByte, 0xFE.toByte) ++ b
+      })
+    Files.write(Paths.get(dir.toString, "u16be.txt"),
+      "plain sixteen be".getBytes("UTF-16BE"))
+    Files.write(Paths.get(dir.toString, "u8bom.txt"),
+      Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++ "café utf8".getBytes("UTF-8"))
+    // plain UTF-8 multibyte must stay UTF-8
+    Files.write(Paths.get(dir.toString, "u8.txt"), "café 中文".getBytes("UTF-8"))
+
+    val out = TextCorpus.readWithEncoding(spark, dir.toString).collect()
+      .map(r => Paths.get(r.getString(0).stripPrefix("file:")).getFileName.toString ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(out.size === 6)
+    assert(out("l1.txt") === (("café ok", "windows-1252")))
+    assert(out("cp1252.txt") === (("“hi” — x", "windows-1252")))
+    assert(out("u16le.txt") === (("café sixteen le", "UTF-16LE")))
+    assert(out("u16be.txt") === (("plain sixteen be", "UTF-16BE")))
+    assert(out("u8bom.txt") === (("café utf8", "UTF-8"))) // BOM stripped
+    assert(out("u8.txt") === (("café 中文", "UTF-8")))
   }
 
   test("preview: 5000-char cap with truncation marker (reference constants)") {
