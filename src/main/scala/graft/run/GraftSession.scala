@@ -23,6 +23,43 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 
+  /** Handle to a running cancellable job group. */
+  final case class JobGroupHandle(spark: SparkSession, groupId: String) {
+    /** Cancel every job in the group; running tasks are interrupted. */
+    def cancel(reason: String = "user requested"): Unit =
+      spark.sparkContext.cancelJobGroup(groupId)
+    /** Job ids the group has started (poll to know the job is live). */
+    def activeJobIds: Seq[Int] =
+      spark.sparkContext.statusTracker.getJobIdsForGroup(groupId).toSeq
+  }
+
+  final case class CancellableRun[T](
+      handle: JobGroupHandle,
+      result: scala.concurrent.Future[T])
+
+  /** Cooperative cancellation — the operational story for a 100-TB job.
+    * The reference checks a cancel flag per record
+    * (src/CorpusAid.py:766-771,1644-1648); Spark's unit of cooperative
+    * cancellation is the JOB GROUP: `body`'s actions run on a dedicated
+    * thread under a fresh group id with interruptOnCancel=true, and
+    * [[JobGroupHandle.cancel]] interrupts all of the group's running tasks
+    * mid-record. The returned future fails with a SparkException naming the
+    * cancelled group. */
+  def runCancellable[T](spark: SparkSession, name: String)(body: => T): CancellableRun[T] = {
+    val groupId = s"graft-$name-${java.util.UUID.randomUUID().toString.take(8)}"
+    val p = scala.concurrent.Promise[T]()
+    val t = new Thread(() => {
+      spark.sparkContext.setJobGroup(groupId, s"graft cancellable: $name",
+        interruptOnCancel = true)
+      try p.success(body)
+      catch { case e: Throwable => p.failure(e) }
+      finally spark.sparkContext.clearJobGroup()
+    }, s"graft-run-$name")
+    t.setDaemon(true)
+    t.start()
+    CancellableRun(JobGroupHandle(spark, groupId), p.future)
+  }
+
   /** Salted repartition for embarrassingly-parallel per-row stages over a
     * skewed key: `pmod(xxhash64(key, salt), parts)` spreads a
     * mega-conversation across `saltFactor` partitions. NOT for the window

@@ -35,13 +35,21 @@ object QualityFilter {
       fails: Seq[String]
   )
 
+  /** Error-tolerant analysis payload: `error` is null on success. */
+  final case class SafeAnalysis(
+      clean_text: String,
+      a: Analysis,
+      error: String
+  )
+
   def apply(
       spark: SparkSession,
       turns: Dataset[Turn],
       cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
       filterCfg: FilterConfig = FilterConfig(),
       inputBucketed: Boolean = false,
-      useNativeAnalysis: Boolean = true
+      useNativeAnalysis: Boolean = true,
+      errorTolerant: Boolean = false
   ): DataFrame = {
     val fcfg = filterCfg
 
@@ -95,9 +103,50 @@ object QualityFilter {
       else turns
         .repartition(nPart, col("conv_id"))
         .sortWithinPartitions(col("conv_id"), col("turn_idx"))
-    parted
-      .withColumn("clean_text", CleanText(col("text"), cleanCfg))
-      .withColumn("a", analyzeCol)
+    // Error-tolerant mode (the reference's per-row error side-channel,
+    // src/CorpusAid.py:2483-2500, generalized from Media.decodeStub's
+    // valid=false shape): every per-turn stage runs inside one total UDF;
+    // a row whose stage throws — pathological user regex blowing the
+    // matcher stack, a future codec error — lands with an `error` string
+    // and keep=false instead of failing the job. The native-codegen path
+    // stays the default; this is the opt-in never-throw hardening.
+    val analyzed =
+      if (!errorTolerant)
+        parted
+          .withColumn("clean_text", CleanText(col("text"), cleanCfg))
+          .withColumn("a", analyzeCol)
+      else {
+        val chain = graft.pipeline.CleanPipeline.kernelChain(cleanCfg)
+        val safe = udf { (text: String, role: String) =>
+          try {
+            if (text == null)
+              SafeAnalysis(null, Analysis("und", 0.0, 0.0, Seq("null_text")), null)
+            else {
+              val ct = chain(text)
+              val (lang, score) = LangId.model.classify(ct)
+              val ppl = Perplexity.model.perplexity(ct)
+              SafeAnalysis(ct,
+                Analysis(lang, score, ppl,
+                  Heuristics.ruleFailures(ct, role, lang, ppl, fcfg)), null)
+            }
+          } catch {
+            case e: StackOverflowError =>
+              SafeAnalysis(null, Analysis("und", 0.0, 0.0, Seq("error")),
+                "StackOverflowError: pathological regex/input")
+            case scala.util.control.NonFatal(e) =>
+              SafeAnalysis(null, Analysis("und", 0.0, 0.0, Seq("error")),
+                (e.getClass.getName + ": " + e.getMessage).take(200))
+          }
+        }
+        parted
+          .withColumn("s", safe(col("text"), col("role")))
+          .withColumn("clean_text", col("s.clean_text"))
+          .withColumn("a", col("s.a"))
+          .withColumn("error", col("s.error"))
+          .drop("s")
+      }
+
+    analyzed
       .withColumn("cross_repeat", crossRepeat)
       .withColumn(
         "drop_reasons",
@@ -114,11 +163,32 @@ object QualityFilter {
         sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
         sum(octet_length(col("text"))).as("bytes_in"))
       .select(
-        col("conv_id"), col("turn_idx"), col("role"), col("text"),
-        col("clean_text"), col("scrubbed_text"),
-        col("a.lang").as("lang"), col("a.lang_score").as("lang_score"),
-        col("a.ppl").as("ppl"), col("keep"), col("drop_reasons")
+        (Seq(
+          col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("clean_text"), col("scrubbed_text"),
+          col("a.lang").as("lang"), col("a.lang_score").as("lang_score"),
+          col("a.ppl").as("ppl"), col("keep"), col("drop_reasons")
+        ) ++ (if (errorTolerant) Seq(col("error")) else Nil)): _*
       )
+  }
+
+  /** Never-throw run with a quarantine side-channel: rows whose per-turn
+    * stages threw land in the second DataFrame as (conv_id, turn_idx, role,
+    * text, error) — the job keeps going (reference error-collection
+    * semantics, src/CorpusAid.py:2483-2500). Both frames derive from ONE
+    * pipeline; production callers should persist the tolerant result (or
+    * write both sinks from one pass) rather than recompute per branch. */
+  def quarantineSplit(
+      spark: SparkSession,
+      turns: Dataset[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): (DataFrame, DataFrame) = {
+    val tolerant = apply(spark, turns, cleanCfg, filterCfg, errorTolerant = true)
+    val clean = tolerant.filter(col("error").isNull).drop("error")
+    val quarantined = tolerant.filter(col("error").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"), col("error"))
+    (clean, quarantined)
   }
 
   /** Typed boundary (input_hint mandates typed Dataset at the API surface). */
