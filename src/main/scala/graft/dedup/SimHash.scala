@@ -50,41 +50,80 @@ object SimHash {
 
   @inline def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Near-dup pairs (id_a < id_b, hamming <= maxHamming). */
+  /** Near-dup pairs (id_a < id_b, hamming <= maxHamming).
+    *
+    * Scale shape: the block exchange carries (block, value, id, sig) only —
+    * 4 compact rows per doc, never text. A pair is emitted exactly once, in
+    * the FIRST block where the two fingerprints agree (near-dups share up to
+    * `blocks` blocks; without first-collision dedup the pair stream is ~4×
+    * larger and needs a distinct() shuffle). Hot buckets are capped with
+    * accumulator-counted, logged truncation — never silent. */
   def nearDuplicates(
       spark: SparkSession,
       docs: DataFrame, // columns: id, text
-      cfg: Config = Config()
+      cfg: Config = Config(),
+      maxBucket: Int = 256
   ): DataFrame = {
     require(cfg.blocks > cfg.maxHamming, "need blocks > maxHamming for recall=1")
     import spark.implicits._
+    val sc = spark.sparkContext
+    val truncAcc = sc.longAccumulator("simhash.truncated_buckets")
+    val dropAcc = sc.longAccumulator("simhash.dropped_ids")
 
     val shUdf = udf((t: String) => if (t == null) 0L else simhash(t, cfg.seed))
-    val sigs = docs.select(col("id"), shUdf(col("text")).as("sig")).cache()
+    val sigs = docs.select(col("id"), shUdf(col("text")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val width = 64 / cfg.blocks
+    val nBlocks = cfg.blocks
+    val maxH = cfg.maxHamming
+    val mb = maxBucket
+    def blockOf(sig: Long, b: Int): Long = (sig >>> (b * width)) & ((1L << width) - 1)
     val blockUdf = udf((sig: Long) =>
-      (0 until cfg.blocks).map(b => (b, (sig >>> (b * width)) & ((1L << width) - 1))))
+      (0 until nBlocks).map(b => (b, blockOf(sig, b))))
 
-    val buckets = sigs
+    val pairs = sigs
       .select(col("id"), col("sig"), explode(blockUdf(col("sig"))).as("blk"))
       .groupBy(col("blk._1").as("block"), col("blk._2").as("value"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
       .filter(size(col("members")) > 1)
-      .withColumn("members", slice(col("members"), 1, 256))
+      .select(col("block"), col("members"))
+      .as[(Int, Array[(Long, Long)])]
+      .flatMap { case (block, members0) =>
+        val members =
+          if (members0.length > mb) {
+            truncAcc.add(1L)
+            dropAcc.add((members0.length - mb).toLong)
+            members0.take(mb)
+          } else members0
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        var i = 0
+        while (i < members.length) {
+          val (idI, sI) = members(i)
+          var j = i + 1
+          while (j < members.length) {
+            val (idJ, sJ) = members(j)
+            val h = hamming(sI, sJ)
+            if (h <= maxH) {
+              // first block in which the two fingerprints agree
+              var fb = 0
+              while (blockOf(sI, fb) != blockOf(sJ, fb)) fb += 1
+              if (fb == block) out += ((idI, idJ, h))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "hamming")
 
-    val pairGen = udf { (members: Seq[org.apache.spark.sql.Row]) =>
-      for {
-        i <- members.indices
-        j <- (i + 1) until members.length
-        a = members(i); b = members(j)
-        if hamming(a.getLong(1), b.getLong(1)) <= cfg.maxHamming
-      } yield (a.getLong(0), b.getLong(0), hamming(a.getLong(1), b.getLong(1)))
-    }
-
-    buckets
-      .select(explode(pairGen(col("members"))).as("p"))
-      .select(col("p._1").as("id_a"), col("p._2").as("id_b"), col("p._3").as("hamming"))
-      .distinct()
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist(false)
+    if (truncAcc.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"simhash: capped ${truncAcc.value} hot buckets at $mb ids " +
+          s"(${dropAcc.value} memberships dropped) — recall not exhaustive there")
+    out
   }
 }

@@ -82,7 +82,11 @@ object Media {
     if (content == null || content.length < 17 ||
       content(0) != 'G' || content(1) != 'R' || content(2) != 'F' || content(3) != 'T')
       return MediaMeta("unknown", 0, 0, 0, if (content == null) 0 else content.length, valid = false)
-    val kind = kinds(math.min(content(4).toInt, 2))
+    // kind byte outside 0..2 (incl. negative 0x80-0xFF bytes) is garbage,
+    // not an index — honor the never-throw contract with valid=false
+    if (content(4) < 0 || content(4) > 2)
+      return MediaMeta("unknown", 0, 0, 0, content.length - 17, valid = false)
+    val kind = kinds(content(4).toInt)
     MediaMeta(kind, getInt(content, 5), getInt(content, 9), getInt(content, 13),
       content.length - 17, valid = true)
   }
