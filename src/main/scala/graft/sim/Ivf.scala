@@ -89,32 +89,34 @@ object Ivf {
     corpus.withColumn("list_id", listUdf(col("embedding")))
   }
 
-  /** Top-k search probing nProbe lists per query. */
-  def topK(
-      spark: SparkSession,
-      corpus: DataFrame,
+  /** list_id → (query_id, query_vec, norm) for the queries probing it. */
+  private def probeMap(
       index: Index,
       queries: Array[(Long, Array[Float])],
-      k: Int,
-      nProbe: Int = 4
+      nProbe: Int
+  ): Map[Int, Array[(Long, Array[Float], Double)]] =
+    queries
+      .flatMap { case (qid, qv) =>
+        index.nearest(qv, nProbe).map(l => l -> ((qid, qv, Ann.norm(qv))))
+      }
+      .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
+
+  /** Bounded-heap scan of an assigned (vec_id, embedding, list_id) table
+    * against a broadcast probe map — shared by the in-memory and the
+    * on-disk-index query paths. */
+  private def heapScan(
+      spark: SparkSession,
+      assigned: DataFrame,
+      probes: Map[Int, Array[(Long, Array[Float], Double)]],
+      k: Int
   ): DataFrame = {
     import spark.implicits._
-    val idxB = spark.sparkContext.broadcast(index)
-    // list_id -> queries probing it
-    val probes: Map[Int, Array[(Long, Array[Float], Double)]] =
-      queries
-        .flatMap { case (qid, qv) =>
-          idxB.value.nearest(qv, nProbe).map(l => l -> ((qid, qv, Ann.norm(qv))))
-        }
-        .groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2) }
     val probesB = spark.sparkContext.broadcast(probes)
-
     implicit val ord: Ordering[(Double, Long)] =
       Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
-    val assigned = assign(spark, corpus, index)
     val partial = assigned
-      .select(col("vec_id"), col("embedding"), col("list_id"))
+      .select(col("vec_id"), col("embedding"), col("list_id").cast("int"))
       .as[(Long, Array[Float], Int)]
       .mapPartitions { iter =>
         val pr = probesB.value
@@ -143,5 +145,80 @@ object Ivf {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"), col("rank"))
+  }
+
+  /** Top-k search probing nProbe lists per query (in-memory assignment: the
+    * whole corpus is still scanned; use the written index to prune I/O). */
+  def topK(
+      spark: SparkSession,
+      corpus: DataFrame,
+      index: Index,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame =
+    heapScan(spark, assign(spark, corpus, index), probeMap(index, queries, nProbe), k)
+
+  // -- persisted index: lists bucketed by list_id on disk -------------------
+
+  /** Materialize the index: corpus assigned + written PARTITIONED BY list_id
+    * (one directory per coarse list — the production layout the scaladoc
+    * promises: a probe reads only its nProbe directories), centroids beside
+    * it. Layout: `path/lists/list_id=NN/` (parquet), `path/centroids/`. */
+  def writeIndex(
+      spark: SparkSession,
+      corpus: DataFrame,
+      index: Index,
+      path: String
+  ): Unit = {
+    import spark.implicits._
+    assign(spark, corpus, index)
+      // co-locate each list's vectors so a list is one contiguous file set
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/lists")
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  def readIndex(spark: SparkSession, path: String): Index = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Array[Float])].collect().sortBy(_._1)
+    Index(rows.map(_._2))
+  }
+
+  /** The on-disk lists a query run would scan, already partition-pruned to
+    * the probed list_ids (assert `PartitionFilters` in the scan plan). */
+  def probedLists(
+      spark: SparkSession,
+      path: String,
+      index: Index,
+      queries: Array[(Long, Array[Float])],
+      nProbe: Int
+  ): DataFrame = {
+    val lists = queries
+      .flatMap { case (_, qv) => index.nearest(qv, nProbe) }
+      .distinct.toSeq
+    spark.read.parquet(s"$path/lists")
+      .filter(col("list_id").isin(lists: _*))
+  }
+
+  /** Top-k over a written index: the scan touches ONLY the nProbe probed
+    * list directories per query set (partition pruning on list_id), instead
+    * of the whole corpus — the 100-TB query path. */
+  def topKIndexed(
+      spark: SparkSession,
+      path: String,
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      nProbe: Int = 4
+  ): DataFrame = {
+    val index = readIndex(spark, path)
+    heapScan(spark, probedLists(spark, path, index, queries, nProbe),
+      probeMap(index, queries, nProbe), k)
   }
 }

@@ -159,6 +159,27 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val recall = (approx & exact).size.toDouble / exact.size
     info(f"ivf ann recall = $recall%.3f")
     assert(recall >= 0.8, f"recall $recall%.3f too low on clustered data")
+
+    // persisted index: identical results through the on-disk bucketed lists,
+    // and the scan is PARTITION-PRUNED to the probed list_ids
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_idx_").toString
+    graft.sim.Ivf.writeIndex(spark, df, index, idxPath)
+    assert(graft.sim.Ivf.readIndex(spark, idxPath).centroids.length === 24)
+    val viaIndex = graft.sim.Ivf.topKIndexed(spark, idxPath, queries, k, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(viaIndex === approx, "indexed path must equal the in-memory path")
+
+    val pruned = graft.sim.Ivf.probedLists(spark, idxPath, index, queries, nProbe = 3)
+    val scanPlan = pruned.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("list_id"),
+      s"expected list_id partition pruning in scan:\n$scanPlan")
+    val probedIds = queries.flatMap { case (_, qv) => index.nearest(qv, 3) }.distinct
+    assert(probedIds.length < 24, "test setup: probes must not cover all lists")
+    // the pruned scan reads only the probed lists' rows
+    val assignedAll = graft.sim.Ivf.assign(spark, df, index)
+    val expectRows = assignedAll.filter(col("list_id").isin(probedIds.toSeq: _*)).count()
+    assert(pruned.count() === expectRows)
+    assert(pruned.count() < df.count(), "pruned scan must not read the whole corpus")
   }
 
   test("embedding near-dup pairs: planted duplicate is found") {
