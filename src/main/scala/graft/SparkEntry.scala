@@ -204,7 +204,7 @@ object SparkEntry {
 
     // SimHash 64-bit fingerprints per document
     "q17_simhash_sigs" -> ((s, dir) => {
-      val sh = udf((t: String) => graft.dedup.SimHash.simhash(t))
+      val sh = udf((t: String) => if (t == null) 0L else graft.dedup.SimHash.simhash(t))
       docs(s, dir).select(col("doc_id"), sh(col("text")).as("simhash64"))
     }),
 
@@ -242,7 +242,11 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 20)
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
       val index = graft.sim.Ivf.train(s, emb, k = 32)
-      graft.sim.Ivf.topK(s, emb, index, queries, k = 10, nProbe = 8)
+      // full index lifecycle: build → write partitioned by list_id → query
+      // through the pruned scan (only the probed list directories are read)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+      graft.sim.Ivf.writeIndex(s, emb, index, idxPath)
+      graft.sim.Ivf.topKIndexed(s, idxPath, queries, k = 10, nProbe = 8)
     }),
 
     // embedding-cosine near-dup pairs; deterministic planted near-copies
@@ -277,11 +281,14 @@ object SparkEntry {
 
     // winnowing document fingerprints (rolling-hash, SIGMOD'03)
     "q24_winnow_fingerprints" -> ((s, dir) => {
-      val fpUdf = udf((t: String) => graft.text.Fingerprint.winnow(t))
+      val fpUdf = udf((t: String) =>
+        if (t == null) Array.empty[Long] else graft.text.Fingerprint.winnow(t))
       docs(s, dir)
         .select(col("doc_id"), fpUdf(col("text")).as("fp"))
+        // empty fingerprint array (empty canonical text) must not trip ANSI
+        // element_at — yield a null min_fp instead
         .select(col("doc_id"), size(col("fp")).as("n_fingerprints"),
-          element_at(col("fp"), 1).as("min_fp"))
+          when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("min_fp"))
     }),
 
     // BPE-ish pre-tokenizer count (letters / digit-runs / single symbols)
@@ -377,6 +384,37 @@ object SparkEntry {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     }),
 
+    // exact-distinct counts — the DuckDB-oracled half of the q36 split
+    // (q36 keeps the HLL sketch next to the exact count; sketches are
+    // engine-specific so that one stays rows-only + error-bound-tested)
+    "q37_exact_distinct" -> ((s, dir) => {
+      t(s, dir, "events").agg(
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(col("event_type")).as("n_types"))
+    }),
+
+    // sessionization: 30-min-gap sessions per user (lag + running sum over
+    // the user window, one shuffle), then per-session aggregates —
+    // microsecond-exact via unix_micros so the DuckDB oracle matches
+    "q38_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        // ts is TIMESTAMP_NTZ; session TZ is pinned UTC so the ltz cast is
+        // exact and matches DuckDB's epoch_us on the naive timestamp
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp_ltz")))
+        .withColumn("new_s",
+          when(lag(col("ts_us"), 1).over(w).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -446,6 +484,28 @@ object SparkEntry {
            JOIN nation ON s_nationkey = n_nationkey
            JOIN region ON n_regionkey = r_regionkey
            GROUP BY r_name ORDER BY r_name""",
+      "q37_exact_distinct" ->
+        """SELECT count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types
+           FROM events""",
+      "q38_sessionize" ->
+        """WITH g AS (
+             SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                    OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+           ), s AS (
+             SELECT user_id, ts_us,
+               cast(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) as bigint) AS session_id
+             FROM g
+           )
+           SELECT user_id, session_id, count(*) AS n_events,
+             max(ts_us) - min(ts_us) AS dur_us
+           FROM s GROUP BY user_id, session_id
+           ORDER BY user_id, session_id""",
       "q05_events_window" ->
         """SELECT event_id, user_id, event_type,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
