@@ -40,8 +40,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // JIT/codegen warmup on the smallest sf
-    try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
+    // Steady-state warmup: one untimed pass of every selected query at the
+    // smallest sf (JIT, codegen cache, parquet footer cache, broadcast
+    // machinery) — the timed numbers then measure the operators, not
+    // first-call compilation. Skippable via SPARK_GRAFT_NO_WARMUP=1.
+    if (!sys.env.contains("SPARK_GRAFT_NO_WARMUP")) {
+      val warmDir = "/root/testdata/sf0.001"
+      if (new java.io.File(warmDir).isDirectory) {
+        try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .filter { case (name, _) => selected(name) }
+          .foreach { case (_, fn) =>
+            try force(fn(spark, warmDir)) catch { case _: Throwable => }
+          }
+      } else {
+        try force(SparkEntry.entry(spark)) catch { case _: Throwable => }
+      }
+    }
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
