@@ -57,6 +57,25 @@ object TextCorpus {
       (length(col("text")) > PreviewCharLimit).as("truncated")
     )
 
+  val PreviewBatchSize = 20 // reference src/CorpusAid.py:159
+  val MaxDisplayFiles = 5000 // reference src/CorpusAid.py:160
+
+  /** Batch paging over the preview projection (reference UI paging,
+    * src/CorpusAid.py:159-163): deterministic path order, 0-based `page` of
+    * PREVIEW_BATCH_SIZE rows, display capped at MAX_DISPLAY_FILES. The cap
+    * turns the global sort into a TakeOrdered top-k, and the single-partition
+    * row_number window runs over at most 5000 rows — bounded at any corpus
+    * size. */
+  def previewBatch(df: DataFrame, page: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy("file_path")
+    preview(df.orderBy("file_path").limit(MaxDisplayFiles))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") > page * PreviewBatchSize &&
+        col("rn") <= (page + 1) * PreviewBatchSize)
+      .drop("rn")
+  }
+
   /** Remove documents by path set / clear (reference FileManager
     * remove_files/clear, src/CorpusAid.py:807-816). */
   def remove(df: DataFrame, paths: Seq[String]): DataFrame =

@@ -68,6 +68,18 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(prev("p2") === ("short", false))
   }
 
+  test("preview batch paging: 20 per page in path order, capped display") {
+    import spark.implicits._
+    val df = (1 to 47).map(i => (f"p$i%03d", s"text $i")).toDF("file_path", "text")
+    val p0 = TextCorpus.previewBatch(df, 0).collect().map(_.getString(0))
+    val p1 = TextCorpus.previewBatch(df, 1).collect().map(_.getString(0))
+    val p2 = TextCorpus.previewBatch(df, 2).collect().map(_.getString(0))
+    assert(p0.length === 20 && p0.head === "p001" && p0.last === "p020")
+    assert(p1.length === 20 && p1.head === "p021")
+    assert(p2.length === 7 && p2.last === "p047")
+    assert(TextCorpus.previewBatch(df, 3).count() === 0)
+  }
+
   test("versioned sink: each run is its own directory (the backup semantics)") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sink_").toString
