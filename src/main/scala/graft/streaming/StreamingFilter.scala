@@ -52,6 +52,12 @@ object StreamingFilter {
     ): Iterator[StreamedVerdict] = {
       val chain = CleanPipeline.kernelChain(chainCfg)
       var prevs = state.getOption.map(_.lastTexts).getOrElse(Nil)
+      // NOTE (memory bound): the sort buffers ONE conversation's turns from
+      // ONE micro-batch — bounded by the trigger interval / maxOffsetsPerTrigger,
+      // not by total conversation length (cross-batch order is carried by the
+      // lastTexts state, which is capped at crossTurnWindow entries). A
+      // mega-conversation therefore costs O(turns-per-batch) heap here; size
+      // triggers accordingly rather than raising executor memory.
       val out = it.toSeq.sortBy(_.turn_idx).map { t =>
         val cleanText = chain(t.text)
         val (lang, _) = LangId.model.classify(cleanText)
