@@ -31,11 +31,29 @@ object SparkEntry {
     m.map(_.group(1).toDouble).getOrElse(0.001)
   }
 
-  def synthTurns(s: SparkSession, dir: String) = {
-    val sf = sfOf(dir)
-    val nConvs = math.max(100L, (sf * 100000).toLong)
-    val mega = if (nConvs >= 1000) 5000 else 500
-    TranscriptGen.dataset(s, nConvs, megaTurns = mega)
+  /** Per-(SparkContext, input) staged-input memo. The synthetic transcript
+    * table and the deduped near-dup corpus are INPUTS, not operators — in a
+    * production deployment both are table scans (the flagship bench already
+    * stages its input to parquet untimed for the same reason). Staging them
+    * once per session via localCheckpoint (materialized, lineage-free
+    * executor blocks) keeps every query's timed work on the operator under
+    * test instead of re-running the generator + dedup shuffle per query.
+    * Keyed by applicationId so blocks never leak across SparkContexts. */
+  private val stageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def staged(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    stageMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + key,
+      _ => build.localCheckpoint(true))
+
+  def synthTurns(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[graft.model.Turn] = {
+    import s.implicits._
+    staged(s, s"turns|$dir") {
+      val sf = sfOf(dir)
+      val nConvs = math.max(100L, (sf * 100000).toLong)
+      val mega = if (nConvs >= 1000) 5000 else 500
+      TranscriptGen.dataset(s, nConvs, megaTurns = mega).toDF()
+    }.as[graft.model.Turn]
   }
 
   /** Words = \S+ runs after trim; 0 for blank. Same formula is used in the
@@ -415,6 +433,67 @@ object SparkEntry {
         .orderBy("user_id", "session_id")
     }),
 
+    // as-of join: most recent purchase at-or-before each click, per user —
+    // AsOfJoin's union+window plan (ONE shuffle, no range cross-product).
+    // The purchase side is pre-deduped per (user, ts) so the tie-winner is
+    // deterministic in both engines (AsOfJoin contract).
+    "q39_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp_ltz")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts_us")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us").as("pts"), col("event_id"))
+        .groupBy("user_id", "pts")
+        .agg(max(col("event_id")).as("purchase_id"))
+      graft.operators.AsOfJoin
+        .join(clicks, purchases, Seq("user_id"), "ts_us", "pts", Seq("purchase_id"))
+        .withColumnRenamed("asof_time", "purchase_ts_us")
+    }),
+
+    // banded range join: how many events (any user) fall within ±1 hour of
+    // each error event — RangeJoin turns the non-equi time predicate into a
+    // band equi-join (no nested-loop / cartesian plan)
+    "q40_range_join" -> ((s, dir) => {
+      val hourUs = 3600000000L
+      val ev = t(s, dir, "events")
+        .withColumn("ts_us", unix_micros(col("ts").cast("timestamp_ltz")))
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"),
+          (col("ts_us") - hourUs).as("lo"), (col("ts_us") + hourUs).as("hi"))
+      val pts = ev.select(col("event_id").as("pt_id"), col("ts_us").as("pt"))
+      graft.operators.RangeJoin
+        .pointsInRanges(err, pts, "lo", "hi", "pt", bandWidth = hourUs)
+        .groupBy("err_id")
+        .agg(count(lit(1)).as("n_nearby"))
+        .select(col("err_id").as("event_id"), col("n_nearby"))
+    }),
+
+    // exact n-gram Jaccard near-dup pairs on the documents table (the
+    // SQL-expressible, oracle-checked member of the near-dup family) —
+    // word-bigram sets, prefix-filtered inverted index, exact verify
+    "q41_ngram_jaccard" -> ((s, dir) => {
+      graft.dedup.NgramJaccard
+        .similarPairs(s, docs(s, dir).select(col("doc_id").as("id"), col("text")),
+          n = 2, tau = 0.5)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+    }),
+
+    // exact interpolated quantiles per group (percentile ≡ DuckDB
+    // quantile_cont; rounded to absorb last-ulp interpolation differences)
+    "q42_group_quantiles" -> ((s, dir) => {
+      val q = col("l_quantity").cast("double")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(q, lit(0.5)), 4).as("p50"),
+          round(percentile(q, lit(0.95)), 4).as("p95"),
+          min(q).as("min_qty"),
+          max(q).as("max_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -432,19 +511,20 @@ object SparkEntry {
   /** Shared corpus for the near-dup queries: distinct synthetic turn texts
     * with a stable numeric id (exact dups removed first so MinHash/SimHash
     * surface only NEAR duplicates). */
-  private def dedupCorpus(s: SparkSession, dir: String): DataFrame = {
-    // dedup on the 8-byte xxhash64 of the text, NOT on the text itself:
-    // the hash is the group key (and the stable id), so the exchange hashes/
-    // compares fixed-width longs instead of full strings, and map-side
-    // partial aggregation ships at most one text per (distinct id,
-    // partition). min(text) keeps the representative deterministic.
-    synthTurns(s, dir)
-      .select(col("text"))
-      .filter(length(col("text")) > 20)
-      .groupBy(xxhash64(col("text")).as("id"))
-      .agg(min(col("text")).as("text"))
-      .select("id", "text")
-  }
+  private def dedupCorpus(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"dedup|$dir") {
+      // dedup on the 8-byte xxhash64 of the text, NOT on the text itself:
+      // the hash is the group key (and the stable id), so the exchange hashes/
+      // compares fixed-width longs instead of full strings, and map-side
+      // partial aggregation ships at most one text per (distinct id,
+      // partition). min(text) keeps the representative deterministic.
+      synthTurns(s, dir)
+        .select(col("text"))
+        .filter(length(col("text")) > 20)
+        .groupBy(xxhash64(col("text")).as("id"))
+        .agg(min(col("text")).as("text"))
+        .select("id", "text")
+    }
 
   // -- oracle SQL (DuckDB dialect; same parquet tables) --------------------
 
@@ -506,6 +586,42 @@ object SparkEntry {
              max(ts_us) - min(ts_us) AS dur_us
            FROM s GROUP BY user_id, session_id
            ORDER BY user_id, session_id""",
+      "q39_asof_join" ->
+        """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                      FROM events WHERE event_type = 'click'),
+           p AS (SELECT user_id, epoch_us(ts) AS pts, max(event_id) AS purchase_id
+                 FROM events WHERE event_type = 'purchase'
+                 GROUP BY user_id, epoch_us(ts))
+           SELECT c.event_id, c.user_id, c.ts_us,
+                  p.purchase_id, p.pts AS purchase_ts_us
+           FROM c ASOF LEFT JOIN p
+             ON c.user_id = p.user_id AND p.pts <= c.ts_us""",
+      "q40_range_join" ->
+        """SELECT e.event_id, count(*) AS n_nearby
+           FROM events e JOIN events r
+             ON epoch_us(r.ts) BETWEEN epoch_us(e.ts) - 3600000000
+                                   AND epoch_us(e.ts) + 3600000000
+           WHERE e.event_type = 'error'
+           GROUP BY e.event_id""",
+      "q41_ngram_jaccard" ->
+        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                        FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
+           s AS (SELECT doc_id, list(DISTINCT b) AS bgs FROM bg WHERE b IS NOT NULL GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.bgs, b.bgs))::DOUBLE /
+                   (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) AS jac
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id)
+           SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
+      "q42_group_quantiles" ->
+        """SELECT l_returnflag,
+             round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS p50,
+             round(quantile_cont(l_quantity::DOUBLE, 0.95), 4) AS p95,
+             min(l_quantity::DOUBLE) AS min_qty,
+             max(l_quantity::DOUBLE) AS max_qty,
+             count(*) AS n
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q05_events_window" ->
         """SELECT event_id, user_id, event_type,
            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

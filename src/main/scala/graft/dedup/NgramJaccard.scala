@@ -1,0 +1,154 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact word-n-gram Jaccard similarity join with PREFIX FILTERING — the
+  * third member of the near-dup family (exact-threshold complement to the
+  * probabilistic MinHash LSH and SimHash paths).
+  *
+  * Semantics (kept deliberately ANSI-SQL-expressible so the result is
+  * DuckDB-oracle-checkable, unlike the hash-sketch methods): tokens are
+  * `trim(text).split("\\s+")`, grams are the n consecutive-token windows
+  * joined with a single space, sets are DISTINCT grams, and
+  * jaccard(a, b) = |a ∩ b| / |a ∪ b| computed exactly. Documents with
+  * fewer than n tokens have no grams and never pair.
+  *
+  * Prefix filtering (SSJoin/PPJoin family, Chaudhuri ICDE'06 / Xiao
+  * WWW'08): under ANY fixed global total order of grams (we use the 64-bit
+  * gram hash, ascending — needs no frequency pass), two sets with
+  * jaccard >= t must share at least one gram among each one's FIRST
+  * `|s| - ceil(t * |s|) + 1` grams. So only those prefix grams are
+  * exploded into the inverted index — the candidate shuffle carries
+  * roughly half the gram volume at t = 0.5, and buckets pair only
+  * documents that share a (rarely-shared-by-construction) prefix gram.
+  *
+  * Scale shape: one shuffle builds the inverted index on (gram hash), hot
+  * grams are capped at `maxBucket` members with accumulator-counted
+  * truncation (same audit contract as [[MinHashLSH]] — a capped run never
+  * silently reads as complete), candidates are distinct-ed (a pair can
+  * share several prefix grams), and the exact verify joins the two compact
+  * sorted-hash arrays back by id — candidate volume, not corpus volume.
+  */
+object NgramJaccard {
+
+  /** Distinct sorted 64-bit hashes of the word n-grams of `text`. */
+  def gramHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val trimmed = text.trim
+    if (trimmed.isEmpty) return Array.empty
+    val words = trimmed.split("\\s+")
+    if (words.length < n) return Array.empty
+    val set = new java.util.HashSet[java.lang.Long]()
+    var i = 0
+    while (i + n <= words.length) {
+      var h = 0x6a09e667f3bcc909L
+      var j = i
+      while (j < i + n) {
+        // mix a separator between words so ["ab","c"] and ["a","bc"]
+        // hash differently despite equal concatenations
+        if (j > i) h = graft.gen.TranscriptGen.mix64(h ^ ' ')
+        h = Shingles.hashRange(words(j), 0, words(j).length, h)
+        j += 1
+      }
+      set.add(h)
+      i += 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** All pairs (id_a < id_b, jaccard >= tau) over (id, text) documents. */
+  def similarPairs(
+      spark: SparkSession,
+      docs: DataFrame, // columns: id (long), text (string)
+      n: Int = 2,
+      tau: Double = 0.5,
+      maxBucket: Int = 256
+  ): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau in (0, 1]")
+    import spark.implicits._
+    val truncAcc = spark.sparkContext.longAccumulator("ngram_jaccard.truncated_buckets")
+    val dropAcc = spark.sparkContext.longAccumulator("ngram_jaccard.dropped_ids")
+
+    val gramsUdf = udf((t: String) => gramHashes(t, n))
+    val sets = docs
+      .select(col("id"), gramsUdf(col("text")).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // prefix length under the hash-ascending global order (grams is sorted)
+    val prefix = slice(
+      col("grams"), lit(1),
+      (size(col("grams")) - ceil(size(col("grams")) * tau) + 1).cast("int"))
+
+    val mb = maxBucket
+    val candidates = sets
+      .select(col("id"), explode(prefix).as("gram"))
+      .groupBy("gram")
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(col("ids"))
+      .as[Array[Long]]
+      .flatMap { ids0 =>
+        val ids =
+          if (ids0.length > mb) {
+            truncAcc.add(1L)
+            dropAcc.add((ids0.length - mb).toLong)
+            ids0.take(mb)
+          } else ids0
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+          yield (ids(i), ids(j))
+      }
+      .toDF("id_a", "id_b")
+      .distinct()
+
+    val jacUdf = udf((a: Array[Long], b: Array[Long]) => Shingles.jaccard(a, b))
+    val out = candidates
+      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+      .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint(true)
+    sets.unpersist(false)
+    if (truncAcc.value > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ngram_jaccard: capped ${truncAcc.value} hot gram buckets at $mb ids " +
+          s"(${dropAcc.value} memberships dropped) — similarity recall is not " +
+          "exhaustive for those grams")
+    out
+  }
+
+  /** Brute-force O(n²) oracle for tests — driver-side, STRING sets (catches
+    * any hash-collision drift between gramHashes and true gram sets). */
+  def bruteForcePairs(
+      docs: Seq[(Long, String)],
+      n: Int = 2,
+      tau: Double = 0.5
+  ): Seq[(Long, Long, Double)] = {
+    def strGrams(t: String): Set[String] = {
+      if (t == null) return Set.empty
+      val w = t.trim.split("\\s+").toIndexedSeq
+      if (t.trim.isEmpty || w.length < n) Set.empty
+      else w.sliding(n).map(_.mkString(" ")).toSet
+    }
+    val sets = docs.map { case (id, t) => id -> strGrams(t) }.filter(_._2.nonEmpty)
+    for {
+      i <- sets.indices
+      j <- (i + 1) until sets.length
+      inter = (sets(i)._2 & sets(j)._2).size
+      jac = inter.toDouble / (sets(i)._2.size + sets(j)._2.size - inter)
+      if jac >= tau
+    } yield {
+      val (a, b) =
+        if (sets(i)._1 < sets(j)._1) (sets(i)._1, sets(j)._1)
+        else (sets(j)._1, sets(i)._1)
+      (a, b, jac)
+    }
+  }
+}
