@@ -494,6 +494,30 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // benchmark decontamination (GPT-3-style n-gram overlap rule): training
+    // docs sharing any word 3-gram with the deterministic "eval set"
+    // (doc_id % 50 == 0) — benchmark n-grams broadcast, corpus never shuffles
+    "q43_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.dedup.Decontaminate.contaminated(
+        s,
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0).select("text"),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    // boilerplate detector: corpus-wide top-20 word 3-grams by occurrence
+    // (template/header text signal) — (gram, partial count) shuffle + top-k
+    "q44_boilerplate_ngrams" -> ((s, dir) =>
+      graft.text.Ngrams.topNgrams(docs(s, dir), "text", n = 3, k = 20)),
+
+    // distinctive frequent term per document: integer-only TF-IDF-style
+    // ranking (tf desc, df asc, term asc) reproducible bit-exactly in SQL
+    "q45_top_terms" -> ((s, dir) =>
+      graft.text.Ngrams.distinctiveTerms(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -614,6 +638,38 @@ object SparkEntry {
                    (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) AS jac
                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
            SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
+      "q43_decontaminate" ->
+        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                        FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           g AS (SELECT doc_id,
+                   concat_ws(' ', t, lead(t,1) OVER win, lead(t,2) OVER win) AS gram,
+                   lead(t,2) OVER win AS l2
+                 FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+           dg AS (SELECT DISTINCT doc_id, gram FROM g WHERE l2 IS NOT NULL),
+           bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 50 = 0)
+           SELECT doc_id, count(*) AS n_shared
+           FROM dg JOIN bench USING (gram)
+           WHERE doc_id % 50 <> 0 GROUP BY doc_id ORDER BY doc_id""",
+      "q44_boilerplate_ngrams" ->
+        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                        FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           g AS (SELECT doc_id,
+                   concat_ws(' ', t, lead(t,1) OVER win, lead(t,2) OVER win) AS gram,
+                   lead(t,2) OVER win AS l2
+                 FROM w WINDOW win AS (PARTITION BY doc_id ORDER BY i))
+           SELECT gram, count(*) AS n_occurrences FROM g WHERE l2 IS NOT NULL
+           GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""",
+      "q45_top_terms" ->
+        """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                         FROM documents WHERE len(trim(text)) > 0),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+           df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+           SELECT doc_id, term, tf, df FROM tf JOIN df USING (term)
+           QUALIFY row_number() OVER (PARTITION BY doc_id
+             ORDER BY tf DESC, df ASC, term ASC) = 1
+           ORDER BY doc_id""",
       "q42_group_quantiles" ->
         """SELECT l_returnflag,
              round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS p50,
