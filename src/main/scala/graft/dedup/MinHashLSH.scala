@@ -237,6 +237,9 @@ object MinHashLSH {
           .agg(sort_array(collect_list(col("id"))).as("ids"))
           .filter(size(col("ids")) > 1)
           .select(col("band"), col("ids"))
+          // bucket rows are tiny but their pair loops are the CPU hot spot —
+          // AQE byte-coalescing would fold them into 1-2 tasks; spread them
+          .repartition(sc.defaultParallelism)
           .as[(Int, Array[Long])]
           .flatMap { case (band, ids0) =>
             val st = store.value
@@ -278,6 +281,7 @@ object MinHashLSH {
           .agg(sort_array(collect_list(struct(col("id"), col("bands")))).as("members"))
           .filter(size(col("members")) > 1)
           .select(col("band"), col("members"))
+          .repartition(sc.defaultParallelism) // spread pair loops (see above)
           .as[(Int, Array[(Long, Array[Long])])]
           .flatMap { case (band, members0) =>
             val members =

@@ -62,18 +62,69 @@ object NgramJaccard {
     out
   }
 
-  /** All pairs (id_a < id_b, jaccard >= tau) over (id, text) documents. */
+  /** Sorted-merge verify with FIRST-SHARED-GRAM dedup: walks the two sorted
+    * hash arrays once; the first common element found IS the pair's smallest
+    * shared gram under the global order. If it differs from `bucketGram` the
+    * pair belongs to another bucket (early exit — no duplicate work, no
+    * `distinct()` shuffle); otherwise the same single pass completes the
+    * exact intersection count.
+    *
+    * Why exactly-once is lossless: if jaccard(a,b) >= tau then the overlap
+    * o satisfies o >= tau*(|a|+|b|)/(1+tau) >= ceil(tau*|a|) (using
+    * |b| >= tau*|a|, implied by the threshold), and the smallest shared
+    * gram ranks before at least o-1 others of a, i.e. within a's first
+    * |a|-o+1 <= |a|-ceil(tau*|a|)+1 positions — the indexed prefix. Same
+    * for b. So every qualifying pair meets in the bucket of its smallest
+    * shared gram, and only that bucket emits it. */
+  private[dedup] def verifyAtFirstShared(
+      a: Array[Long], b: Array[Long], bucketGram: Long, tau: Double): Double = {
+    var i = 0
+    var j = 0
+    var inter = 0
+    var first = true
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) {
+        if (first) {
+          if (a(i) != bucketGram) return -1.0 // another bucket owns this pair
+          first = false
+        }
+        inter += 1; i += 1; j += 1
+      } else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    if (first) return -1.0 // no shared gram at all
+    val jac = inter.toDouble / (a.length + b.length - inter)
+    if (jac >= tau) jac else -1.0
+  }
+
+  /** All pairs (id_a < id_b, jaccard >= tau) over (id, text) documents.
+    *
+    * Adaptive verify strategy (same contract as [[MinHashLSH]]): when the
+    * corpus' gram arrays fit the broadcast budget, verification runs
+    * MAP-SIDE inside the bucket flatMap against a broadcast id→grams store —
+    * the only shuffle is the compact (gram, id) inverted index, there is no
+    * candidate `distinct()` and no verify join, and first-shared-gram dedup
+    * guarantees each qualifying pair is emitted exactly once. (On dense gram
+    * spaces — small vocabularies — prefix filtering alone cannot prune: at
+    * sf0.1 the 5,000-doc corpus has 931 distinct bigrams and ~3.5M distinct
+    * candidate pairs; shuffling + joining those dominated the round-1
+    * battery at 15 s. The broadcast path verifies them in-place for ~1 s.)
+    * Above the budget, the index buckets carry (id, size) and the
+    * length-filtered candidate pairs go through the distinct + compact
+    * gram-array join — the shape a corpus of billions of docs takes. */
   def similarPairs(
       spark: SparkSession,
       docs: DataFrame, // columns: id (long), text (string)
       n: Int = 2,
       tau: Double = 0.5,
-      maxBucket: Int = 256
+      maxBucket: Int = 256,
+      maxBroadcastBytes: Long = 256L << 20
   ): DataFrame = {
     require(tau > 0 && tau <= 1, "tau in (0, 1]")
     import spark.implicits._
-    val truncAcc = spark.sparkContext.longAccumulator("ngram_jaccard.truncated_buckets")
-    val dropAcc = spark.sparkContext.longAccumulator("ngram_jaccard.dropped_ids")
+    val sc = spark.sparkContext
+    val truncAcc = sc.longAccumulator("ngram_jaccard.truncated_buckets")
+    val dropAcc = sc.longAccumulator("ngram_jaccard.dropped_ids")
 
     val gramsUdf = udf((t: String) => gramHashes(t, n))
     val sets = docs
@@ -81,40 +132,94 @@ object NgramJaccard {
       .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // one stats job (materializes the cache): total gram volume → strategy
+    val sRow = sets.agg(coalesce(sum(size(col("grams"))), lit(0L))).head()
+    val gramBytes = sRow.getLong(0) * 8
+    val smallMode = gramBytes * 2 < maxBroadcastBytes
+
     // prefix length under the hash-ascending global order (grams is sorted)
     val prefix = slice(
       col("grams"), lit(1),
       (size(col("grams")) - ceil(size(col("grams")) * tau) + 1).cast("int"))
 
     val mb = maxBucket
-    val candidates = sets
-      .select(col("id"), explode(prefix).as("gram"))
-      .groupBy("gram")
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(col("ids"))
-      .as[Array[Long]]
-      .flatMap { ids0 =>
-        val ids =
-          if (ids0.length > mb) {
-            truncAcc.add(1L)
-            dropAcc.add((ids0.length - mb).toLong)
-            ids0.take(mb)
-          } else ids0
-        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-          yield (ids(i), ids(j))
-      }
-      .toDF("id_a", "id_b")
-      .distinct()
-
-    val jacUdf = udf((a: Array[Long], b: Array[Long]) => Shingles.jaccard(a, b))
-    val out = candidates
-      .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
-      .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
-      .filter(col("jaccard") >= tau)
-      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-      .localCheckpoint(true)
+    val out = (if (smallMode) {
+      val store = sc.broadcast(
+        sets.as[(Long, Array[Long])].collect().toMap)
+      sets
+        .select(col("id"), explode(prefix).as("gram"))
+        .groupBy("gram")
+        .agg(sort_array(collect_list(col("id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(col("gram"), col("ids"))
+        // bucket rows are tiny (a few KB) but their pair loops are the CPU
+        // hot spot — AQE byte-coalescing would fold them into 1-2 tasks, so
+        // spread them across the cluster explicitly (shuffles ~nothing)
+        .repartition(sc.defaultParallelism)
+        .as[(Long, Array[Long])]
+        .flatMap { case (gram, ids0) =>
+          val st = store.value
+          val ids =
+            if (ids0.length > mb) {
+              truncAcc.add(1L)
+              dropAcc.add((ids0.length - mb).toLong)
+              ids0.take(mb)
+            } else ids0
+          val outBuf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < ids.length) {
+            val ga = st(ids(i))
+            var j = i + 1
+            while (j < ids.length) {
+              val gb = st(ids(j))
+              // length filter: |a|*tau <= |b| and |b|*tau <= |a|
+              if (ga.length * tau <= gb.length && gb.length * tau <= ga.length) {
+                val jac = verifyAtFirstShared(ga, gb, gram, tau)
+                if (jac >= 0) outBuf += ((ids(i), ids(j), jac))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          outBuf
+        }
+        .toDF("id_a", "id_b", "jaccard")
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    } else {
+      // shuffle path: buckets carry (id, size) for the length filter, the
+      // (much smaller) surviving candidate set dedups + joins gram arrays
+      val candidates = sets
+        .select(col("id"), size(col("grams")).as("sz"), explode(prefix).as("gram"))
+        .groupBy("gram")
+        .agg(sort_array(collect_list(struct(col("id"), col("sz")))).as("members"))
+        .filter(size(col("members")) > 1)
+        .select(col("members"))
+        .repartition(sc.defaultParallelism) // spread pair loops (see above)
+        .as[Array[(Long, Int)]]
+        .flatMap { members0 =>
+          val members =
+            if (members0.length > mb) {
+              truncAcc.add(1L)
+              dropAcc.add((members0.length - mb).toLong)
+              members0.take(mb)
+            } else members0
+          for {
+            i <- members.indices.iterator
+            j <- (i + 1) until members.length
+            if members(i)._2 * tau <= members(j)._2 &&
+              members(j)._2 * tau <= members(i)._2
+          } yield (members(i)._1, members(j)._1)
+        }
+        .toDF("id_a", "id_b")
+        .distinct()
+      val jacUdf = udf((a: Array[Long], b: Array[Long]) => Shingles.jaccard(a, b))
+      candidates
+        .join(sets.select(col("id").as("id_a"), col("grams").as("g_a")), "id_a")
+        .join(sets.select(col("id").as("id_b"), col("grams").as("g_b")), "id_b")
+        .withColumn("jaccard", jacUdf(col("g_a"), col("g_b")))
+        .filter(col("jaccard") >= tau)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }).localCheckpoint(true)
     sets.unpersist(false)
     if (truncAcc.value > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

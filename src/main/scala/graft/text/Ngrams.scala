@@ -33,9 +33,20 @@ object Ngrams {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Tokens staged as a materialized column BEFORE the n-gram expression:
+    * `wordNgrams` references its token array many times (twice in the size
+    * guard, once per gram inside the `transform` lambda), and Catalyst does
+    * not common-subexpression-eliminate through higher-order-function
+    * lambdas — inlining `split()` there re-tokenizes the document once per
+    * gram (O(words²) regex work; measured 3-4 s of the sf0.1 battery).
+    * Projecting the array first makes every reference an attribute read. */
+  private def withTokens(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("__toks", tokens(col(textCol)))
+
   /** Exploded (id, gram) pairs — one row per n-gram occurrence. */
   def explodeNgrams(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol), explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    withTokens(df, textCol)
+      .select(col(idCol), explode(wordNgrams(col("__toks"), n)).as("gram"))
 
   /** Corpus-wide most-frequent word n-grams (boilerplate detector — the
     * header/footer/license-block signal a web-scale pipeline uses to strip
@@ -45,7 +56,8 @@ object Ngrams {
     * Ordering (count desc, gram asc) is total, so results are deterministic
     * under ties. */
   def topNgrams(df: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    df.select(explode(wordNgrams(tokens(col(textCol)), n)).as("gram"))
+    withTokens(df, textCol)
+      .select(explode(wordNgrams(col("__toks"), n)).as("gram"))
       .groupBy("gram")
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("gram"))
@@ -59,8 +71,8 @@ object Ngrams {
     * aggregates the already-distinct (doc, term) pairs so no second scan of
     * the corpus is needed. */
   def distinctiveTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tf = df
-      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = withTokens(df, textCol)
+      .select(col(idCol), explode(col("__toks")).as("term"))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))

@@ -110,10 +110,15 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       .map(p => (p._1, p._2) -> math.rint(p._3 * 1e6) / 1e6).toMap
     assert(expected.nonEmpty, "corpus must contain similar pairs")
 
-    val got = NgramJaccard.similarPairs(spark, docs.toDF("id", "text"), n = 2, tau = 0.5)
-      .as[(Long, Long, Double)].collect()
-      .map(p => (p._1, p._2) -> p._3).toMap
-    assert(got === expected)
+    // both verify strategies (broadcast map-side / candidate-join shuffle)
+    // must reproduce the brute force exactly
+    for (budget <- Seq(256L << 20, 0L)) {
+      val got = NgramJaccard.similarPairs(spark, docs.toDF("id", "text"),
+        n = 2, tau = 0.5, maxBroadcastBytes = budget)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(got === expected, s"maxBroadcastBytes=$budget")
+    }
   }
 
   test("NgramJaccard prefix filter drops nothing vs full-index candidates") {
