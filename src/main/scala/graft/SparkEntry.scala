@@ -518,6 +518,41 @@ object SparkEntry {
       graft.text.Ngrams.distinctiveTerms(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // deterministic stratified sampling (data mixing): hash-gated per-lang
+    // keep rates — narrow per-row filter, no shuffle, retry-stable
+    "q46_stratified_sample" -> ((s, dir) => {
+      graft.sample.Stratified.sample(
+        docs(s, dir), "lang", "text",
+        Map("en" -> 1.0, "de" -> 0.5, "es" -> 0.25, "fr" -> 0.125, "zh" -> 0.0625))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(wordsExpr(col("text"))).as("kept_words"))
+        .orderBy("lang")
+    }),
+
+    // per-stratum quota curation: top-5 docs per source by size — one
+    // window shuffle on the stratum key
+    "q47_quota_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "rk")
+    }),
+
+    // sequence packing: contiguous fill of 256-token context windows per
+    // source (ordered offset policy — deterministic + SQL-expressible)
+    "q48_pack_sequences" -> ((s, dir) => {
+      graft.operators.Pack.manifest(
+        docs(s, dir).withColumn("n_tokens", wordsExpr(col("text"))),
+        groupCols = Seq("source"), orderCol = "doc_id",
+        weightCol = "n_tokens", budget = 256L)
+        .withColumnRenamed("sum_weight", "sum_tokens")
+        .orderBy("source", "bin")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -670,6 +705,30 @@ object SparkEntry {
            QUALIFY row_number() OVER (PARTITION BY doc_id
              ORDER BY tf DESC, df ASC, term ASC) = 1
            ORDER BY doc_id""",
+      "q46_stratified_sample" ->
+        s"""SELECT lang, count(*) AS n_kept,
+            cast(sum($words) as bigint) AS kept_words
+            FROM documents
+            WHERE substr(md5(text), 1, 8) <
+              CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '80000000'
+                        WHEN 'es' THEN '40000000' WHEN 'fr' THEN '20000000'
+                        WHEN 'zh' THEN '10000000' ELSE 'g' END
+            GROUP BY lang ORDER BY lang""",
+      "q47_quota_topk" ->
+        """SELECT source, row_number() OVER w AS rk, doc_id, n_chars
+           FROM documents
+           WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id)
+           QUALIFY rk <= 5
+           ORDER BY source, rk""",
+      "q48_pack_sequences" ->
+        s"""WITH d AS (SELECT source, doc_id, $words AS n_tokens FROM documents),
+           c AS (SELECT source, doc_id, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d)
+           SELECT source, cast(floor((cum - n_tokens) / 256.0) as bigint) AS bin,
+                  count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS sum_tokens
+           FROM c GROUP BY source, bin ORDER BY source, bin""",
       "q42_group_quantiles" ->
         """SELECT l_returnflag,
              round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS p50,

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed-budget bins (context
+  * windows) by contiguous fill — the pretraining step that concatenates
+  * documents into training sequences of ~budget tokens.
+  *
+  * Policy = ORDERED OFFSET PACKING: within each partition group, documents
+  * are laid out end-to-end in `orderCol` order and a document belongs to the
+  * bin where its first token lands (`floor(cumulative_weight_before /
+  * budget)`). This is deterministic, order-stable, and ANSI-SQL-expressible
+  * (one window running sum), unlike best-fit bin packing which is
+  * inherently sequential and non-reproducible under re-partitioning.
+  *
+  * Scale shape: ONE window shuffle partitioned by `groupCols` — packing
+  * parallelism equals the number of groups (source shards, date buckets…).
+  * A 100-TB run packs per (source, shard) so no single window sees more
+  * than a shard's rows; the group key is the natural write-partition key so
+  * the shuffle doubles as the layout for the sink.
+  */
+object Pack {
+
+  /** Adds `bin` (0-based within group) to each row.
+    *
+    * @param weightCol token/byte count column used to fill the budget
+    */
+  def contiguous(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val w = Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(weightCol)).over(w))
+      .withColumn("bin", floor((col("__cum") - col(weightCol)) / budget))
+      .drop("__cum")
+  }
+
+  /** Per-bin summary (n_docs, total weight) — the packing manifest. */
+  def manifest(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame =
+    contiguous(df, groupCols, orderCol, weightCol, budget)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("sum_weight"))
+}

@@ -1,0 +1,60 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic stratified sampling — the data-mixing primitive a
+  * pretraining pipeline uses to up/down-weight strata (languages, sources,
+  * quality tiers) when composing a training set.
+  *
+  * Gate: a row is kept iff the first 8 hex chars of `md5(key)` — a uniform
+  * 32-bit draw any engine reproduces bit-exactly — sort below the stratum's
+  * rate threshold. Properties that matter at 100 TB:
+  *   - NARROW: a per-row filter, no shuffle, pushable below downstream ops
+  *   - STATELESS-DETERMINISTIC: no RNG seed plumbing, same decision on
+  *     retry/re-run/backfill (exactly-once safe in a resumable job), and
+  *     the sample is a stable SUBSET as a stratum's rate grows (hash below
+  *     0.25-threshold ⊂ hash below 0.5-threshold), so mixes can be re-tuned
+  *     without churning previously selected rows
+  *   - ENGINE-PORTABLE: lowercase fixed-width hex compares lexicographically
+  *     the same everywhere (the DuckDB oracle replays the identical gate)
+  */
+object Stratified {
+
+  /** Lexicographic hex threshold for a keep-rate in [0, 1]; rates >= 1 use
+    * "g", which sorts above every hex digit (exact keep-all, no edge bias
+    * at "ffffffff"). */
+  def thresholdHex(rate: Double): String = {
+    require(rate >= 0, s"rate must be >= 0, got $rate")
+    if (rate >= 1.0) "g"
+    else f"${(rate * 4294967296d).toLong}%08x"
+  }
+
+  /** The 32-bit uniform draw as 8 lowercase hex chars. */
+  def gate(key: Column): Column = substring(md5(key.cast("binary")), 1, 8)
+
+  /** Keep-predicate for one stratum column against a rate map. Strata not
+    * in the map use `defaultRate`. */
+  def keepExpr(
+      strata: Column,
+      key: Column,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): Column = {
+    val thr = rates.foldLeft(lit(thresholdHex(defaultRate))) {
+      case (acc, (stratum, rate)) =>
+        when(strata === stratum, lit(thresholdHex(rate))).otherwise(acc)
+    }
+    gate(key) < thr
+  }
+
+  /** Filtered sample of `df`. */
+  def sample(
+      df: DataFrame,
+      strataCol: String,
+      keyCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0
+  ): DataFrame =
+    df.filter(keepExpr(col(strataCol), col(keyCol), rates, defaultRate))
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pack
+import graft.sample.Stratified
+
+/** Invariant proofs for the data-mixing operators (stratified sampling,
+  * sequence packing). */
+class SamplePackSpec extends AnyFunSuite with SparkTestBase {
+
+  test("Stratified: rates honored within binomial tolerance, subset-stable") {
+    import spark.implicits._
+    val rows = (0 until 4000).map(i => (s"s${i % 2}", s"payload text $i"))
+    val df = rows.toDF("stratum", "text")
+
+    def kept(rates: Map[String, Double]): Set[String] =
+      Stratified.sample(df, "stratum", "text", rates)
+        .select("text").as[String].collect().toSet
+
+    val halfQuarter = kept(Map("s0" -> 0.5, "s1" -> 0.25))
+    val n0 = halfQuarter.count(_.nonEmpty) // avoid unused warnings
+    assert(n0 > 0)
+    val perStratum = rows.groupBy(_._1).map { case (s, rs) =>
+      s -> rs.count(r => halfQuarter(r._2)).toDouble / rs.size
+    }
+    // 2000 draws per stratum: 5 sigma ≈ 0.056 at p=0.5
+    assert(math.abs(perStratum("s0") - 0.5) < 0.06, perStratum)
+    assert(math.abs(perStratum("s1") - 0.25) < 0.06, perStratum)
+
+    // growing a stratum's rate only ADDS rows (hash-gate monotonicity) —
+    // re-tuning a mix never churns previously selected rows
+    val allHalf = kept(Map("s0" -> 0.5, "s1" -> 0.5))
+    assert(halfQuarter.subsetOf(allHalf))
+
+    // rate 1.0 keeps everything (exact, no "ffffffff" edge bias)
+    assert(kept(Map("s0" -> 1.0, "s1" -> 1.0)).size == rows.size)
+    // rate 0 keeps nothing
+    assert(kept(Map("s0" -> 0.0, "s1" -> 0.0)).isEmpty)
+  }
+
+  test("Pack.contiguous matches the sequential offset-packing simulation") {
+    import spark.implicits._
+    val r = new graft.gen.TranscriptGen.Rng(99L)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 0 until 200
+    } yield (g, i.toLong, 1L + r.nextInt(40)) // (group, ord, weight)
+    val budget = 64L
+
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      var cum = 0L
+      rs.sortBy(_._2).map { case (_, ord, wt) =>
+        val bin = cum / budget
+        cum += wt
+        (g, ord) -> bin
+      }
+    }
+
+    val got = Pack.contiguous(rows.toDF("g", "ord", "wt"),
+      Seq("g"), "ord", "wt", budget)
+      .select("g", "ord", "bin").as[(String, Long, Long)].collect()
+      .map(x => (x._1, x._2) -> x._3).toMap
+    assert(got == expected)
+
+    // manifest totals reconcile with the input
+    val m = Pack.manifest(rows.toDF("g", "ord", "wt"), Seq("g"), "ord", "wt", budget)
+    val sums = m.agg(sum("n_docs"), sum("sum_weight")).as[(Long, Long)].head()
+    assert(sums == ((rows.size.toLong, rows.map(_._3).sum)))
+  }
+}
