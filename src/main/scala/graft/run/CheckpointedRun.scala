@@ -148,7 +148,15 @@ object CheckpointedRun {
         count(when(col("bucket") === b, 1)).as(s"rows_$b"),
         count(when(col("bucket") === b && col("keep"), 1)).as(s"kept_$b"))
     }
-    result.observe(obs, metricCols.head, metricCols.tail: _*)
+    // Cluster the output by bucket before the write: without this every
+    // write task emits a file into every bucket directory (tasks × buckets
+    // small files — 512 here; at 1000 buckets a commit storm). One task per
+    // bucket gives one compact file per bucket, the layout the manifest
+    // models. A deployment whose buckets exceed one task's output would
+    // repartition on (bucket, intra-bucket salt) for k files per bucket.
+    result
+      .repartition(nBuckets, col("bucket"))
+      .observe(obs, metricCols.head, metricCols.tail: _*)
       .write
       .mode("overwrite")
       .partitionBy("bucket")
