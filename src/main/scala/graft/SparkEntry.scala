@@ -553,6 +553,35 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // incremental snapshot dedup: keep only new-batch docs whose content
+    // hash is absent from the existing corpus (the per-crawl-increment
+    // dedup step) — hash-only anti-join, text never shuffles
+    "q49_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val existing = d.filter(col("doc_id") < 250).select(md5(col("text")).as("h"))
+      d.filter(col("doc_id") >= 250)
+        .withColumn("h", md5(col("text")))
+        .join(existing, Seq("h"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_id"))
+        .orderBy("lang")
+    }),
+
+    // quality-tier bucketing: per-source quartiles by size (quality-score
+    // proxy) — the tier label quality-weighted mixing samples from;
+    // window per source so tiering parallelism = stratum count
+    "q50_quality_tiers" -> ((s, dir) => {
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      docs(s, dir)
+        .withColumn("tier", ntile(4).over(w))
+        .groupBy("source", "tier")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("source", "tier")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -729,6 +758,21 @@ object SparkEntry {
            SELECT source, cast(floor((cum - n_tokens) / 256.0) as bigint) AS bin,
                   count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS sum_tokens
            FROM c GROUP BY source, bin ORDER BY source, bin""",
+      "q49_incremental_dedup" ->
+        """SELECT lang, count(*) AS n_new, min(doc_id) AS first_id
+           FROM documents d
+           WHERE doc_id >= 250
+             AND NOT EXISTS (SELECT 1 FROM documents e
+                             WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
+           GROUP BY lang ORDER BY lang""",
+      "q50_quality_tiers" ->
+        """WITH t AS (SELECT source, n_chars,
+                        ntile(4) OVER (PARTITION BY source
+                          ORDER BY n_chars DESC, doc_id) AS tier
+                      FROM documents)
+           SELECT source, tier, count(*) AS n_docs,
+                  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+           FROM t GROUP BY source, tier ORDER BY source, tier""",
       "q42_group_quantiles" ->
         """SELECT l_returnflag,
              round(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS p50,
