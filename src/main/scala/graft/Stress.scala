@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Large-mode stress check: forces the OVER-BUDGET code paths of the
+  * near-dup family (the shapes a 100-TB corpus takes — shuffle joins
+  * instead of broadcast verify) on a corpus ~50× the sf0.1 bench and
+  * reports wall time + result/truncation counts as one JSON line.
+  *
+  * Usage: `sbt "runMain graft.Stress [sfLabel]"` (default sf0.5 — ~680k
+  * staged turns). Results are recorded in BASELINE.md; this main is
+  * evidence, not a driver surface.
+  */
+object Stress {
+
+  def main(args: Array[String]): Unit = {
+    val sfLabel = args.headOption.getOrElse("sf0.5")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // staged synthetic corpus (exact-deduped turn texts, stable ids);
+    // sfOf parses the label so no testdata directory is touched
+    val docs = SparkEntry.dedupCorpusPublic(spark, sfLabel)
+    val nDocs = docs.count()
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // MinHash LSH, forced shuffle-verify mode (maxBroadcastBytes = 0)
+    val cfg = graft.dedup.MinHashLSH.Config(maxBroadcastBytes = 0L)
+    val ((mhPairs, mhStats), mhSec) = timed {
+      val (df, st) = graft.dedup.MinHashLSH.nearDuplicatesWithStats(spark, docs, cfg)
+      (df.count(), st)
+    }
+
+    // MinHash LSH, mid-tier: full state over budget but the 16-slot sample
+    // table broadcastable -> map-side sampled prefilter inside the buckets
+    val midBudget = nDocs * (cfg.numHashes + cfg.bands + 2) * 8 / 2
+    val (mhMidPairs, mhMidSec) = timed {
+      graft.dedup.MinHashLSH.nearDuplicates(spark, docs,
+        graft.dedup.MinHashLSH.Config(maxBroadcastBytes = midBudget)).count()
+    }
+
+    // n-gram Jaccard, forced shuffle-verify mode
+    val (njPairs, njSec) = timed {
+      graft.dedup.NgramJaccard
+        .similarPairs(spark, docs, n = 2, tau = 0.5, maxBroadcastBytes = 0L)
+        .count()
+    }
+
+    // SimHash (already sketch-only; same corpus for completeness)
+    val (shPairs, shSec) = timed {
+      graft.dedup.SimHash.nearDuplicates(spark, docs).count()
+    }
+
+    val json =
+      f"""{"stress":"$sfLabel","docs":$nDocs,"cpus":$cpus,""" +
+        f""""minhash_large":{"sec":$mhSec%.1f,"pairs":$mhPairs,"truncated_buckets":${mhStats.truncatedBuckets.value},"dropped_ids":${mhStats.droppedIds.value}},""" +
+        f""""minhash_mid":{"sec":$mhMidSec%.1f,"pairs":$mhMidPairs},""" +
+        f""""ngram_jaccard_large":{"sec":$njSec%.1f,"pairs":$njPairs},""" +
+        f""""simhash":{"sec":$shSec%.1f,"pairs":$shPairs}}"""
+    println(json)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable => System.err.println(s"[stress] write $outFile: $e") }
+    spark.stop()
+  }
+}

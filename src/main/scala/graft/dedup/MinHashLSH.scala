@@ -36,8 +36,12 @@ import graft.gen.TranscriptGen.mix64
   *     exact-verified by re-shingling the two texts; when the doc count is
   *     small enough (cfg.maxBroadcastBytes) both lookups run map-side from
   *     broadcast hash maps — zero extra shuffles; above the threshold the
-  *     same prefilter/verify run as compact shuffle joins (sig = numHashes
-  *     longs and raw text per id — never the 10-100× larger shingle sets)
+  *     prefilter uses a SAMPLED 16-slot sub-signature (8× lighter than the
+  *     full signature, threshold re-derived for 16-slot variance), run
+  *     map-side from a broadcast sample table while THAT still fits the
+  *     budget (30× smaller than full state) and as a compact pair join
+  *     beyond; text joins only for the survivor set — never the 10-100×
+  *     larger shingle sets
   *   - the intermediate caches are UNPERSISTED before returning; the result
   *     is eagerly materialized via localCheckpoint so callers get a small,
   *     lineage-free pair table
@@ -60,10 +64,18 @@ object MinHashLSH {
     /** Signature-estimate prefilter threshold: minJaccard minus ~4.5σ of the
       * numHashes-slot matching-fraction estimator — keeps the prefilter's
       * false-drop probability per true pair below ~1e-4. */
-    def estThreshold: Double = {
-      val sigma = math.sqrt(minJaccard * (1 - minJaccard) / numHashes)
+    def estThreshold: Double = estThresholdFor(numHashes)
+
+    /** Same bound for a prefilter over only the first `slots` signature
+      * slots (the large-mode SAMPLED prefilter — wider σ, lower cut). */
+    def estThresholdFor(slots: Int): Double = {
+      val sigma = math.sqrt(minJaccard * (1 - minJaccard) / slots)
       math.max(0.0, minJaccard - 4.5 * sigma)
     }
+
+    /** Sampled-prefilter width: enough slots to reject unrelated pairs
+      * (agreement ≈ 0) while shipping 1/8 of the signature bytes. */
+    def sampleSlots: Int = math.min(16, numHashes)
   }
 
   /** Bucket-cap truncation telemetry for one [[nearDuplicates]] invocation.
@@ -272,9 +284,30 @@ object MinHashLSH {
           .toDF("id_a", "id_b", "jaccard")
           .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       } else {
-        // 100-TB path: bucket rows carry the member's band vector (so
-        // first-collision dedup stays local), then a compact signature-
-        // agreement prefilter join, then texts for the (small) survivor set
+        // 100-TB path. The prefilter works on a SAMPLED sub-signature (the
+        // first sampleSlots=16 slots, threshold re-derived for the wider
+        // 16-slot σ): unrelated bucket-mates agree on ≈0 slots, so 16 slots
+        // reject them as surely as 128 while shipping 1/8 of the bytes —
+        // profiled at 152k docs / 8M candidates, the full-signature join
+        // moved ~16 GB and took 57 s of a 74 s run.
+        //
+        // Two sampled-prefilter placements, picked by a second budget test:
+        // the sample table (nDocs × 16 longs — 30× smaller than text+sig
+        // state) usually fits the broadcast budget long after full state
+        // does not, and then the prefilter runs INSIDE the bucket flatMap
+        // (candidates that fail it are never materialized at all). Past
+        // that, the same filter runs as an 8×-lighter pair join.
+        val sampleSlots = cfg.sampleSlots
+        val estThr = cfg.estThresholdFor(sampleSlots)
+        val sampleBytes = nDocs * (sampleSlots + 2) * 8
+        val sampleBcast = sampleBytes < cfg.maxBroadcastBytes
+
+        val samples = sc.broadcast(
+          if (sampleBcast)
+            state.select(col("id"), slice(col("sig"), 1, sampleSlots))
+              .as[(Long, Array[Long])].collect().toMap
+          else Map.empty[Long, Array[Long]])
+
         val pairs = state
           .select(col("id"), col("bands"), posexplode(col("bands")).as(Seq("band", "bh")))
           .groupBy(col("band"), col("bh"))
@@ -290,6 +323,7 @@ object MinHashLSH {
                 dropAcc.add((members0.length - maxBucket).toLong)
                 members0.take(maxBucket)
               } else members0
+            val sm = samples.value
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
             var i = 0
             while (i < members.length) {
@@ -299,7 +333,9 @@ object MinHashLSH {
                 val (idJ, bJ) = members(j)
                 var fb = 0
                 while (bI(fb) != bJ(fb)) fb += 1
-                if (fb == band) out += ((idI, idJ))
+                if (fb == band &&
+                  (sm.isEmpty || sigAgreement(sm(idI), sm(idJ)) >= estThr))
+                  out += ((idI, idJ))
                 j += 1
               }
               i += 1
@@ -307,13 +343,17 @@ object MinHashLSH {
             out
           }
           .toDF("id_a", "id_b")
-        val est = udf((a: Array[Long], b: Array[Long]) => sigAgreement(a, b))
-        val s = state.select(col("id"), col("sig"))
-        val survivors = pairs
-          .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
-          .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-          .filter(est(col("sig_a"), col("sig_b")) >= cfg.estThreshold)
-          .select("id_a", "id_b")
+        val survivors =
+          if (sampleBcast) pairs
+          else {
+            val est = udf((a: Array[Long], b: Array[Long]) => sigAgreement(a, b))
+            val s = state.select(col("id"), slice(col("sig"), 1, sampleSlots).as("sig"))
+            pairs
+              .join(s.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+              .join(s.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+              .filter(est(col("sig_a"), col("sig_b")) >= estThr)
+              .select("id_a", "id_b")
+          }
         val jacText = udf((ta: String, tb: String) =>
           Shingles.jaccard(
             if (ta == null) Array.empty[Long] else Shingles.charShingles(ta, cfg.shingleK),

@@ -49,11 +49,20 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val df = corpus.toDF("id", "text")
     val small = MinHashLSH.nearDuplicates(spark, df, MinHashLSH.Config())
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
-    // maxBroadcastBytes = 0 forces the 100-TB path: band vectors through the
-    // bucket shuffle, signature-prefilter join, text join for survivors
+    // maxBroadcastBytes = 0 forces the 100-TB path with the JOIN-side
+    // sampled prefilter (the sample table does not fit either)
     val big = MinHashLSH.nearDuplicates(spark, df, MinHashLSH.Config(maxBroadcastBytes = 0))
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(big === small)
+    // a budget too small for full state but big enough for the 16-slot
+    // sample table exercises the MAP-SIDE sampled prefilter (prefilter
+    // inside the bucket flatMap, no candidate-pair join at all)
+    val nDocs = corpus.size.toLong
+    val midBudget = nDocs * (MinHashLSH.Config().numHashes + MinHashLSH.Config().bands + 2) * 8 / 2
+    val mid = MinHashLSH.nearDuplicates(spark, df,
+      MinHashLSH.Config(maxBroadcastBytes = midBudget))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(mid === small)
   }
 
   test("minhash bucket cap is accounted, not silent") {

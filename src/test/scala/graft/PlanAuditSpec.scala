@@ -111,6 +111,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"approx $approx vs exact $exact")
   }
 
+  test("decontamination probe joins against a BROADCAST benchmark-gram set") {
+    val plan = executedPlan(SparkEntry.queries("q43_decontaminate")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not SMJ vs benchmark:\n$plan")
+  }
+
+  test("boilerplate top-k is a TakeOrdered, not a global sort") {
+    val df = SparkEntry.queries("q44_boilerplate_ngrams")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
+  test("incremental dedup anti-join never shuffles document text") {
+    val df = SparkEntry.queries("q49_incremental_dedup")(spark, sf)
+    val plan = executedPlan(df)
+    assert(plan.contains("LeftAnti"), s"expected anti-join:\n$plan")
+    // every exchange in the plan carries hashes/ids/langs — not the text
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(!_.contains("text#")),
+      s"text column crosses an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one key with 10k rows, 50 keys with 10 rows
