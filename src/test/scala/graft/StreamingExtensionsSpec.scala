@@ -61,6 +61,38 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
       s"agreement ${agree.toDouble / oracle.size}")
   }
 
+  test("streaming dedup: once within the watermark horizon, re-emits beyond it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turn(cid: String, idx: Int, text: String, ts: String): Turn =
+      Turn(cid, idx, "user", text, "", java.sql.Timestamp.valueOf(ts))
+
+    val input = MemoryStream[Turn]
+    val query = graft.streaming.StreamingDedup(input.toDS(), horizon = "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same text twice in one batch + once in the next, all inside horizon
+      input.addData(Seq(
+        turn("c1", 0, "repeated payload", "2026-01-01 10:00:00"),
+        turn("c2", 0, "repeated payload", "2026-01-01 10:01:00"),
+        turn("c3", 0, "unique one", "2026-01-01 10:01:30")))
+      query.processAllAvailable()
+      input.addData(Seq(turn("c4", 0, "repeated payload", "2026-01-01 10:02:00")))
+      query.processAllAvailable()
+      // advance the watermark past the horizon (10:50), expiring the state…
+      input.addData(Seq(turn("c5", 0, "late filler", "2026-01-01 11:00:00")))
+      query.processAllAvailable()
+      // …so the same text re-emits (cross-horizon dups belong to batch dedup)
+      input.addData(Seq(turn("c6", 0, "repeated payload", "2026-01-01 10:55:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("dedup_out")
+      .select("conv_id").as[String].collect().sorted.toSeq
+    assert(got === Seq("c1", "c3", "c5", "c6"))
+  }
+
   test("SQL functions: clean_text / scrub_text registered in the session") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
