@@ -86,12 +86,16 @@ object MinHashLSH {
   )
 
   /** Broadcast-side doc store for the small-corpus path: texts + band
-    * hashes, with a per-executor lazily-memoized shingle cache (each doc's
-    * shingle set is computed at most once per JVM, so exact verify is a
-    * sorted-array merge instead of a re-shingling per pair). */
+    * hashes + sampled sub-signatures (the same 16-slot prefilter the
+    * over-budget modes use — a 16-long agreement check is ~40× cheaper
+    * than the exact shingle merge it gates), with a per-executor
+    * lazily-memoized shingle cache (each doc's shingle set is computed at
+    * most once per JVM, so exact verify is a sorted-array merge instead of
+    * a re-shingling per pair). */
   final class DocStore(
       val texts: scala.collection.Map[Long, String],
       val bands: scala.collection.Map[Long, Array[Long]],
+      val sigSamples: scala.collection.Map[Long, Array[Long]],
       k: Int
   ) extends Serializable {
     @transient private lazy val memo =
@@ -236,13 +240,17 @@ object MinHashLSH {
         // first-collision dedup resolves band vectors from the broadcast,
         // and exact verify is a memoized sorted-array Jaccard — each doc is
         // shingled at most once per executor, not once per pair.
-        val rows = state.select(col("id"), col("text"), col("bands"))
-          .as[(Long, String, Array[Long])].collect()
+        val rows = state
+          .select(col("id"), col("text"), col("bands"),
+            slice(col("sig"), 1, cfg.sampleSlots))
+          .as[(Long, String, Array[Long], Array[Long])].collect()
         val store = sc.broadcast(new DocStore(
           rows.iterator.map(r => r._1 -> r._2).toMap,
           rows.iterator.map(r => r._1 -> r._3).toMap,
+          rows.iterator.map(r => r._1 -> r._4).toMap,
           cfg.shingleK))
         val minJ = cfg.minJaccard
+        val estThr = cfg.estThresholdFor(cfg.sampleSlots)
         state
           .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
           .groupBy(col("band"), col("bh"))
@@ -271,7 +279,8 @@ object MinHashLSH {
                 // first band in which the two members collide
                 var fb = 0
                 while (bI(fb) != bJ(fb)) fb += 1
-                if (fb == band) {
+                if (fb == band &&
+                  sigAgreement(st.sigSamples(ids(i)), st.sigSamples(ids(j))) >= estThr) {
                   val jac = Shingles.jaccard(st.shingles(ids(i)), st.shingles(ids(j)))
                   if (jac >= minJ) out += ((ids(i), ids(j), jac))
                 }
