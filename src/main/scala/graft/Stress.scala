@@ -47,7 +47,7 @@ object Stress {
 
     // MinHash LSH, mid-tier: full state over budget but the 16-slot sample
     // table broadcastable -> map-side sampled prefilter inside the buckets
-    val midBudget = nDocs * (cfg.numHashes + cfg.bands + 2) * 8 / 2
+    val midBudget = cfg.midTierBudget(nDocs)
     val (mhMidPairs, mhMidSec) = timed {
       graft.dedup.MinHashLSH.nearDuplicates(spark, docs,
         graft.dedup.MinHashLSH.Config(maxBroadcastBytes = midBudget)).count()

@@ -76,6 +76,16 @@ object MinHashLSH {
     /** Sampled-prefilter width: enough slots to reject unrelated pairs
       * (agreement ≈ 0) while shipping 1/8 of the signature bytes. */
     def sampleSlots: Int = math.min(16, numHashes)
+
+    /** Sketch-state bytes (sig + bands + overhead) for n docs — the term
+      * the small-mode gate tests against maxBroadcastBytes. */
+    def stateBytes(nDocs: Long): Long = nDocs * (numHashes + bands + 2) * 8
+
+    /** A budget that fails the small-mode gate but admits the 16-slot
+      * sample table — the MID tier (map-side sampled prefilter). Exists so
+      * tests/harnesses that steer into that branch stay in lockstep with
+      * the internal sizing. */
+    def midTierBudget(nDocs: Long): Long = stateBytes(nDocs) / 2
   }
 
   /** Bucket-cap truncation telemetry for one [[nearDuplicates]] invocation.
@@ -86,16 +96,12 @@ object MinHashLSH {
   )
 
   /** Broadcast-side doc store for the small-corpus path: texts + band
-    * hashes + sampled sub-signatures (the same 16-slot prefilter the
-    * over-budget modes use — a 16-long agreement check is ~40× cheaper
-    * than the exact shingle merge it gates), with a per-executor
-    * lazily-memoized shingle cache (each doc's shingle set is computed at
-    * most once per JVM, so exact verify is a sorted-array merge instead of
-    * a re-shingling per pair). */
+    * hashes, with a per-executor lazily-memoized shingle cache (each doc's
+    * shingle set is computed at most once per JVM, so exact verify is a
+    * sorted-array merge instead of a re-shingling per pair). */
   final class DocStore(
       val texts: scala.collection.Map[Long, String],
       val bands: scala.collection.Map[Long, Array[Long]],
-      val sigSamples: scala.collection.Map[Long, Array[Long]],
       k: Int
   ) extends Serializable {
     @transient private lazy val memo =
@@ -212,7 +218,7 @@ object MinHashLSH {
     val sRow = state.agg(
       count(lit(1)), coalesce(sum(octet_length(col("text"))), lit(0L))).head()
     val nDocs = sRow.getLong(0)
-    val sigBytes = nDocs * (cfg.numHashes + cfg.bands + 2) * 8
+    val sigBytes = cfg.stateBytes(nDocs)
     val textBytes = sRow.getLong(1)
     // adaptive small-side strategy: below the byte budget the prefilter and
     // verify lookups run map-side from broadcast hash maps (zero shuffles
@@ -240,17 +246,13 @@ object MinHashLSH {
         // first-collision dedup resolves band vectors from the broadcast,
         // and exact verify is a memoized sorted-array Jaccard — each doc is
         // shingled at most once per executor, not once per pair.
-        val rows = state
-          .select(col("id"), col("text"), col("bands"),
-            slice(col("sig"), 1, cfg.sampleSlots))
-          .as[(Long, String, Array[Long], Array[Long])].collect()
+        val rows = state.select(col("id"), col("text"), col("bands"))
+          .as[(Long, String, Array[Long])].collect()
         val store = sc.broadcast(new DocStore(
           rows.iterator.map(r => r._1 -> r._2).toMap,
           rows.iterator.map(r => r._1 -> r._3).toMap,
-          rows.iterator.map(r => r._1 -> r._4).toMap,
           cfg.shingleK))
         val minJ = cfg.minJaccard
-        val estThr = cfg.estThresholdFor(cfg.sampleSlots)
         state
           .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
           .groupBy(col("band"), col("bh"))
@@ -279,8 +281,11 @@ object MinHashLSH {
                 // first band in which the two members collide
                 var fb = 0
                 while (bI(fb) != bJ(fb)) fb += 1
-                if (fb == band &&
-                  sigAgreement(st.sigSamples(ids(i)), st.sigSamples(ids(j))) >= estThr) {
+                // exact verify for EVERY first-collision candidate — the
+                // small path stays lossless (no probabilistic prefilter;
+                // the memoized sorted-merge is cheap enough here, and the
+                // sampled gate measurably bought nothing at bench scale)
+                if (fb == band) {
                   val jac = Shingles.jaccard(st.shingles(ids(i)), st.shingles(ids(j)))
                   if (jac >= minJ) out += ((ids(i), ids(j), jac))
                 }

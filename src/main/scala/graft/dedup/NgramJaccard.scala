@@ -111,7 +111,16 @@ object NgramJaccard {
     * battery at 15 s. The broadcast path verifies them in-place for ~1 s.)
     * Above the budget, the index buckets carry (id, size) and the
     * length-filtered candidate pairs go through the distinct + compact
-    * gram-array join — the shape a corpus of billions of docs takes. */
+    * gram-array join — the shape a corpus of billions of docs takes.
+    *
+    * Bucket-cap interaction (documented loss, mirrors [[MinHashLSH]]): when
+    * a hot gram's bucket is truncated at `maxBucket`, the broadcast path
+    * loses pairs whose SMALLEST shared gram was the truncated one (no other
+    * bucket owns them), while the shuffle path may still recover such a
+    * pair through a different shared prefix gram — so under truncation the
+    * shuffle path's result is a (weak) superset. Truncation is never
+    * silent: both paths count it through the same accumulators, and a run
+    * with zero truncated buckets is exact and identical across paths. */
   def similarPairs(
       spark: SparkSession,
       docs: DataFrame, // columns: id (long), text (string)
@@ -133,8 +142,13 @@ object NgramJaccard {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // one stats job (materializes the cache): total gram volume → strategy
-    val sRow = sets.agg(coalesce(sum(size(col("grams"))), lit(0L))).head()
-    val gramBytes = sRow.getLong(0) * 8
+    // budget estimate charges 64 B/doc of map-entry + array-header overhead
+    // on top of the raw longs — a many-small-docs corpus is
+    // overhead-dominated and must not slip under the budget on payload
+    // bytes alone
+    val sRow = sets
+      .agg(coalesce(sum(size(col("grams"))), lit(0L)), count(lit(1))).head()
+    val gramBytes = sRow.getLong(0) * 8 + sRow.getLong(1) * 64
     val smallMode = gramBytes * 2 < maxBroadcastBytes
 
     // prefix length under the hash-ascending global order (grams is sorted)

@@ -35,6 +35,8 @@ object Pack {
       budget: Long
   ): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
+    require(!df.columns.contains("bin") && !df.columns.contains("__cum"),
+      "input already has a 'bin'/'__cum' column — rename it before packing")
     val w = Window
       .partitionBy(groupCols.map(col): _*)
       .orderBy(col(orderCol))

@@ -150,12 +150,18 @@ object CheckpointedRun {
     }
     // Cluster the output by bucket before the write: without this every
     // write task emits a file into every bucket directory (tasks × buckets
-    // small files — 512 here; at 1000 buckets a commit storm). One task per
-    // bucket gives one compact file per bucket, the layout the manifest
-    // models. A deployment whose buckets exceed one task's output would
-    // repartition on (bucket, intra-bucket salt) for k files per bucket.
+    // small files — 512 here; at 1000 buckets a commit storm). Hash
+    // repartitioning on the bucket key sends each bucket to exactly ONE
+    // task → exactly one compact file per bucket, the layout the manifest
+    // models. 4× partition oversubscription because Murmur3 mod n is not a
+    // bijection on 0..n-1 — at n partitions several buckets would collide
+    // into one task (serializing their writes) while others run empty; at
+    // 4n the expected max load is 1-2 buckets/task. (repartitionByRange
+    // would be exact but pays a boundary-sampling pass over the upstream
+    // pipeline.) A deployment whose buckets exceed one task's output would
+    // hash on (bucket, intra-bucket salt) for k files per bucket.
     result
-      .repartition(nBuckets, col("bucket"))
+      .repartition(nBuckets * 4, col("bucket"))
       .observe(obs, metricCols.head, metricCols.tail: _*)
       .write
       .mode("overwrite")

@@ -19,14 +19,18 @@ import graft.model.Turn
   * Scale shape: state is keyed by the hash, so the stateful operator's
   * shuffle carries (hash, ts) pairs — never text — and partitions uniformly
   * by construction (hash keys cannot skew). Text rides the row but is not
-  * part of the dedup key.
+  * part of the dedup key. The key is 128-bit md5 — the same content-hash
+  * contract as the batch-side exact dedup — because at billions of
+  * in-horizon keys a 64-bit key has an expected birthday collision
+  * (silently dropping a DISTINCT document); 128 bits keeps that probability
+  * negligible (~1e-19 at 5e9 keys).
   */
 object StreamingDedup {
 
   /** Distinct-within-horizon turns of a streaming Dataset[Turn]. */
   def apply(turns: Dataset[Turn], horizon: String = "10 minutes"): DataFrame =
     turns.toDF()
-      .withColumn("content_hash", xxhash64(col("text")))
+      .withColumn("content_hash", md5(col("text").cast("binary")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("content_hash")
 }

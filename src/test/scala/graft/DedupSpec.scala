@@ -57,8 +57,7 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     // a budget too small for full state but big enough for the 16-slot
     // sample table exercises the MAP-SIDE sampled prefilter (prefilter
     // inside the bucket flatMap, no candidate-pair join at all)
-    val nDocs = corpus.size.toLong
-    val midBudget = nDocs * (MinHashLSH.Config().numHashes + MinHashLSH.Config().bands + 2) * 8 / 2
+    val midBudget = MinHashLSH.Config().midTierBudget(corpus.size.toLong)
     val mid = MinHashLSH.nearDuplicates(spark, df,
       MinHashLSH.Config(maxBroadcastBytes = midBudget))
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
