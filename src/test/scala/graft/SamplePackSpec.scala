@@ -38,6 +38,10 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
     assert(kept(Map("s0" -> 1.0, "s1" -> 1.0)).size == rows.size)
     // rate 0 keeps nothing
     assert(kept(Map("s0" -> 0.0, "s1" -> 0.0)).isEmpty)
+    // strata absent from the map fall back to defaultRate (1.0 → all kept)
+    val onlyS0 = Stratified.sample(df, "stratum", "text", Map("s0" -> 0.0))
+      .select("stratum").as[String].collect()
+    assert(!onlyS0.contains("s0") && onlyS0.count(_ == "s1") == 2000)
   }
 
   test("Pack.contiguous matches the sequential offset-packing simulation") {
@@ -46,7 +50,10 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
     val rows = for {
       g <- Seq("a", "b", "c")
       i <- 0 until 200
-    } yield (g, i.toLong, 1L + r.nextInt(40)) // (group, ord, weight)
+      // every ~30th doc exceeds the whole budget (giant-document case:
+      // offset packing must place it by start offset and move on)
+    } yield (g, i.toLong,
+      if (i % 30 == 7) 100L + r.nextInt(100) else 1L + r.nextInt(40))
     val budget = 64L
 
     val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
