@@ -119,6 +119,17 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
         .map(p => (p._1, p._2) -> p._3).toMap
       assert(got === expected, s"maxBroadcastBytes=$budget")
     }
+    // and across the parameter space (prefix-length arithmetic, length
+    // filter, and first-shared-gram ownership must hold for any n / tau)
+    for ((n, tau) <- Seq((1, 0.3), (3, 0.7), (2, 0.9)); budget <- Seq(256L << 20, 0L)) {
+      val exp = NgramJaccard.bruteForcePairs(docs, n, tau)
+        .map(p => (p._1, p._2) -> math.rint(p._3 * 1e6) / 1e6).toMap
+      val got = NgramJaccard.similarPairs(spark, docs.toDF("id", "text"),
+        n = n, tau = tau, maxBroadcastBytes = budget)
+        .as[(Long, Long, Double)].collect()
+        .map(p => (p._1, p._2) -> p._3).toMap
+      assert(got === exp, s"n=$n tau=$tau budget=$budget")
+    }
   }
 
   test("NgramJaccard prefix filter drops nothing vs full-index candidates") {
