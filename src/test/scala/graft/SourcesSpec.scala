@@ -56,6 +56,42 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("u8.txt") === (("café 中文", "UTF-8")))
   }
 
+  test("jsonl transcripts: typed parse, malformed + key-incomplete lines quarantined, round-trip") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+    val lines = Seq(
+      """{"conv_id":"c1","turn_idx":0,"role":"user","text":"hello there","tool":"","ts":"2026-01-01T10:00:00"}""",
+      """{"conv_id":"c1","turn_idx":1,"role":"assistant","text":"hi!","tool":"search","ts":"2026-01-01T10:00:05.250"}""",
+      """{"conv_id":"c2","turn_idx":0,"text":"no role or tool or ts"}""", // optional fields null -> defaulted
+      """{"conv_id":"c3","turn_idx":null,"text":"missing required turn_idx"}""", // -> quarantine
+      """{"turn_idx":7,"text":"missing conv_id"}""", // -> quarantine
+      """{not json at all""", // -> quarantine (malformed)
+      """{"conv_id":"c4","turn_idx":0,"role":"user","text":"fine","tool":"","ts":null}"""
+    )
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val parsed = graft.sources.JsonlTranscripts.read(spark, dir.toString)
+    val turns = parsed.turns.collect().map(t => (t.conv_id, t.turn_idx)).toSet
+    assert(turns === Set(("c1", 0), ("c1", 1), ("c2", 0), ("c4", 0)))
+    // optional-field defaults are total (no nulls escape into Turn)
+    parsed.turns.collect().foreach { t =>
+      assert(t.role != null && t.tool != null && t.ts != null)
+    }
+    val q = parsed.quarantine.select("reason").as[String].collect().sorted
+    assert(q === Array("malformed_json", "missing_required_key", "missing_required_key"))
+    // the raw line is preserved for malformed records
+    assert(parsed.quarantine.filter($"reason" === "malformed_json")
+      .select("raw").as[String].head().contains("{not json"))
+
+    // round-trip through the JSONL sink
+    val out = dir.resolve("export").toString
+    graft.sources.JsonlTranscripts.write(parsed.turns, out)
+    val back = graft.sources.JsonlTranscripts.read(spark, out)
+    assert(back.quarantine.isEmpty)
+    assert(back.turns.collect().toSet === parsed.turns.collect().toSet)
+  }
+
   test("preview: 5000-char cap with truncation marker (reference constants)") {
     import spark.implicits._
     val long = "x" * 6000
