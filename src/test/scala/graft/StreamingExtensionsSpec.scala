@@ -93,6 +93,57 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(got === Seq("c1", "c3", "c5", "c6"))
   }
 
+  test("streaming windowed metrics: append-finalized counts match the stateless oracle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def turn(cid: String, idx: Int, text: String, ts: String): Turn =
+      Turn(cid, idx, "user", text, "", java.sql.Timestamp.valueOf(ts))
+
+    val inWindow = Seq(
+      turn("c1", 0, "This is a perfectly reasonable sentence about data processing.", "2026-01-01 10:01:00"),
+      turn("c2", 0, "Another good clean sentence with enough words to pass the rules.", "2026-01-01 10:02:00"),
+      turn("c3", 0, "x", "2026-01-01 10:03:30"), // too short -> dropped
+      turn("c4", 0, "The quick brown fox jumps over the lazy dog near the river bank.", "2026-01-01 10:06:00"))
+
+    val input = MemoryStream[Turn]
+    val query = graft.streaming.StreamingMetrics(
+      input.toDS(), lateness = "1 minute", window = "5 minutes")
+      .writeStream.format("memory").queryName("win_metrics")
+      .outputMode("append").start()
+    try {
+      input.addData(inWindow)
+      query.processAllAvailable()
+      // watermark after batch 1 = 10:06 - 1min = 10:05 → the FIRST window
+      // [10:00,10:05) may finalize, but the second (ends 10:10) must not
+      assert(spark.table("win_metrics")
+        .filter(col("window_start") === "2026-01-01 10:05:00").isEmpty)
+      // a late-clock event pushes the watermark past both windows' ends
+      input.addData(Seq(turn("c9", 0, "watermark advancer sentence, plenty of words here.", "2026-01-01 10:30:00")))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("win_metrics")
+      .select("window_start", "n_turns", "n_keep")
+      .as[(java.sql.Timestamp, Long, Long)].collect()
+      .groupBy(_._1.toString).view.mapValues(r => (r.map(_._2).sum, r.map(_._3).sum)).toMap
+
+    // stateless oracle: same kernels driver-side
+    val chain = graft.pipeline.CleanPipeline.kernelChain(graft.model.CleanConfig.transcriptDefault)
+    def keeps(t: Turn): Boolean = {
+      val c = chain(t.text)
+      val (lang, _) = graft.quality.LangId.model.classify(c)
+      graft.quality.Heuristics.ruleFailures(
+        c, t.role, lang, graft.quality.Perplexity.model.perplexity(c),
+        graft.quality.FilterConfig()).isEmpty
+    }
+    val w1 = inWindow.filter(_.ts.getTime < java.sql.Timestamp.valueOf("2026-01-01 10:05:00").getTime)
+    val w2 = inWindow.filterNot(w1.contains)
+    assert(got("2026-01-01 10:00:00.0") === ((w1.size.toLong, w1.count(keeps).toLong)))
+    assert(got("2026-01-01 10:05:00.0") === ((w2.size.toLong, w2.count(keeps).toLong)))
+    assert(got("2026-01-01 10:00:00.0")._2 < got("2026-01-01 10:00:00.0")._1,
+      "the degenerate turn must be dropped")
+  }
+
   test("SQL functions: clean_text / scrub_text registered in the session") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
