@@ -582,6 +582,17 @@ object SparkEntry {
         .orderBy("source", "tier")
     }),
 
+    // int8-quantized ANN top-k (4x less scan I/O than q19's float path;
+    // recall >= 0.9 vs the float32 exact baseline proven in DedupSpec)
+    "q51_ann_quantized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 5)
+        .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
+      graft.sim.Quantize.topKQuantized(
+        s, graft.sim.Quantize.quantizeCorpus(emb), queries, k = 10)
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString

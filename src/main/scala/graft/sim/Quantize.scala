@@ -1,0 +1,110 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Int8 embedding quantization for similarity search — the memory lever
+  * that makes a 100-TB embedding corpus scannable: 4× fewer bytes per
+  * vector than float32 (plus one float scale), which is 4× less scan I/O,
+  * 4× more vectors per executor page-cache byte, and SIMD-friendly integer
+  * dot products.
+  *
+  * Scheme: symmetric per-vector max-abs scaling — q[i] = round(v[i] / s *
+  * 127) with s = max|v[i]|. Cosine over quantized vectors needs NO
+  * dequantization: the per-vector scales cancel in the normalized dot
+  * product, so scoring is a pure int multiply-accumulate. Quantization is a
+  * narrow per-row op (no shuffle); the quantized corpus is written/scanned
+  * like any other column.
+  *
+  * Accuracy contract (tested): int8 cosine ranks within recall ≥ 0.9 of the
+  * float32 exact top-k on clustered data; exact re-scoring of the quantized
+  * shortlist against float vectors restores exactness when needed (the
+  * standard two-stage retrieve-then-rerank shape).
+  */
+object Quantize {
+
+  /** (quantized bytes, scale). Zero vector keeps scale 0 → all-zero bytes. */
+  def quantize(v: Array[Float]): (Array[Byte], Float) = {
+    var maxAbs = 0f
+    var i = 0
+    while (i < v.length) { val a = math.abs(v(i)); if (a > maxAbs) maxAbs = a; i += 1 }
+    val out = new Array[Byte](v.length)
+    if (maxAbs > 0f) {
+      val inv = 127f / maxAbs
+      i = 0
+      while (i < v.length) { out(i) = math.round(v(i) * inv).toByte; i += 1 }
+    }
+    (out, maxAbs)
+  }
+
+  /** Integer cosine — scales cancel, so this is exact cosine of the
+    * QUANTIZED vectors (and ≈ cosine of the originals up to rounding). */
+  def cosineQ(a: Array[Byte], b: Array[Byte]): Double = {
+    var dotI = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val ai = a(i).toInt; val bi = b(i).toInt
+      dotI += ai * bi; na += ai * ai; nb += bi * bi
+      i += 1
+    }
+    val d = math.sqrt(na.toDouble) * math.sqrt(nb.toDouble)
+    if (d == 0.0) 0.0 else dotI / d
+  }
+
+  /** Quantized corpus: (vec_id, qvec binary, scale float). */
+  def quantizeCorpus(corpus: DataFrame): DataFrame = {
+    val qUdf = udf((v: Array[Float]) => quantize(v))
+    corpus
+      .select(col("vec_id"), qUdf(col("embedding")).as("q"))
+      .select(col("vec_id"), col("q._1").as("qvec"), col("q._2").as("scale"))
+  }
+
+  /** Exact top-k under int8 cosine: same broadcast-queries + per-partition
+    * bounded-heap shape as [[Ann.bruteForceTopK]] — O(corpus) scan at a
+    * quarter of the bytes, only |partitions|·|Q|·k rows cross the wire. */
+  def topKQuantized(
+      spark: SparkSession,
+      quantized: DataFrame, // columns: vec_id, qvec (binary), scale
+      queries: Array[(Long, Array[Float])],
+      k: Int
+  ): DataFrame = {
+    import spark.implicits._
+    val qB = spark.sparkContext.broadcast(
+      queries.map { case (id, v) => (id, quantize(v)._1) })
+
+    implicit val ord: Ordering[(Double, Long)] =
+      Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
+
+    val partial = quantized
+      .select(col("vec_id"), col("qvec"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val qs = qB.value
+        val heaps = qs.map(_ => new scala.collection.mutable.PriorityQueue[(Double, Long)]()(ord))
+        it.foreach { case (vid, qv) =>
+          var qi = 0
+          while (qi < qs.length) {
+            val score = cosineQ(qs(qi)._2, qv)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((score, vid))
+            else if (ord.lt((score, vid), h.head)) { h.dequeue(); h.enqueue((score, vid)) }
+            qi += 1
+          }
+        }
+        heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+          h.iterator.map { case (s, vid) => (qs(qi)._1, vid, s) }
+        }
+      }
+      .toDF("query_id", "vec_id", "score")
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"), round(col("score"), 6).as("score"), col("rank"))
+  }
+}

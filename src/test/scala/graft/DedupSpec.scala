@@ -137,6 +137,36 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("int8 quantized ANN: kernel invariants + recall vs float32 exact baseline") {
+    import spark.implicits._
+    import graft.sim.Quantize
+
+    // kernel invariants
+    val v = Array(0.5f, -1.0f, 0.25f, 0f)
+    val (q, s) = Quantize.quantize(v)
+    assert(s === 1.0f && q.toSeq === Seq[Byte](64, -127, 32, 0))
+    assert(math.abs(Quantize.cosineQ(q, q) - 1.0) < 1e-12)
+    // per-vector scales cancel: quantizing a scaled copy gives the same cosine
+    val (q2, _) = Quantize.quantize(v.map(_ * 42f))
+    assert(q2.toSeq === q.toSeq)
+    val (z, zs) = Quantize.quantize(Array(0f, 0f))
+    assert(zs === 0f && Quantize.cosineQ(z, z) === 0.0)
+
+    // recall vs the float32 exact top-k on clustered data
+    val vecs = clusteredVectors()
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val queries = vecs.take(10)
+    val k = 10
+    val exact = Ann.bruteForceTopK(spark, df, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val quantized = Quantize.quantizeCorpus(df)
+    val got = Quantize.topKQuantized(spark, quantized, queries, k)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    info(f"int8 ann recall = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f too low for int8 rounding")
+  }
+
   test("LSH ANN recall vs exact baseline on clustered data") {
     import spark.implicits._
     val vecs = clusteredVectors()
