@@ -582,15 +582,16 @@ object SparkEntry {
         .orderBy("source", "tier")
     }),
 
-    // int8-quantized ANN top-k (4x less scan I/O than q19's float path;
-    // recall >= 0.9 vs the float32 exact baseline proven in DedupSpec)
+    // int8 retrieve + float rerank ANN: the corpus is scanned only in
+    // quantized form (4x fewer bytes than q19's float path), the tiny
+    // shortlist is re-scored exactly — DuckDB-oracled against the same
+    // exact-top-k semantics as q19 (pure-int8 recall proven in DedupSpec)
     "q51_ann_quantized" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
         .select("vec_id", "embedding").as[(Long, Array[Float])].collect()
-      graft.sim.Quantize.topKQuantized(
-        s, graft.sim.Quantize.quantizeCorpus(emb), queries, k = 10)
+      graft.sim.Quantize.rerankTopK(s, emb, queries, k = 10)
     }),
 
     // per-partition lineage/metrics table from a checkpointed run
@@ -859,6 +860,16 @@ object SparkEntry {
            FROM documents""",
       "q19_ann_topk" ->
         """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 20),
+           s AS (SELECT qid, vec_id,
+                   list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) AS sc
+                 FROM q, embeddings),
+           r AS (SELECT qid, vec_id, sc,
+                   row_number() OVER (PARTITION BY qid ORDER BY sc DESC, vec_id) AS rn
+                 FROM s)
+           SELECT qid AS query_id, vec_id, round(sc, 6) AS score, rn AS rank
+           FROM r WHERE rn <= 10""",
+      "q51_ann_quantized" ->
+        """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
            s AS (SELECT qid, vec_id,
                    list_cosine_similarity(qe::DOUBLE[], embedding::DOUBLE[]) AS sc
                  FROM q, embeddings),

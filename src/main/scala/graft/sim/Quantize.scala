@@ -62,6 +62,27 @@ object Quantize {
       .select(col("vec_id"), col("q._1").as("qvec"), col("q._2").as("scale"))
   }
 
+  /** Two-stage retrieve-then-rerank: int8 shortlist of k×oversample
+    * candidates (quarter-byte scan), then exact float32 re-scoring of the
+    * tiny shortlist — the standard shape that recovers exact ranking while
+    * the full corpus is only ever read in quantized form. The shortlist id
+    * set is |Q|·k·oversample (driver-trivial); the float scan prunes to it
+    * via an IN filter pushed to the column source. */
+  def rerankTopK(
+      spark: SparkSession,
+      corpus: DataFrame, // columns: vec_id, embedding (array<float>)
+      queries: Array[(Long, Array[Float])],
+      k: Int,
+      oversample: Int = 4
+  ): DataFrame = {
+    import spark.implicits._
+    val shortlist = topKQuantized(
+      spark, quantizeCorpus(corpus), queries, k * oversample)
+      .select("vec_id").distinct().as[Long].collect()
+    Ann.bruteForceTopK(
+      spark, corpus.filter(col("vec_id").isin(shortlist: _*)), queries, k)
+  }
+
   /** Exact top-k under int8 cosine: same broadcast-queries + per-partition
     * bounded-heap shape as [[Ann.bruteForceTopK]] — O(corpus) scan at a
     * quarter of the bytes, only |partitions|·|Q|·k rows cross the wire. */

@@ -165,6 +165,16 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     val recall = (got & exact).size.toDouble / exact.size
     info(f"int8 ann recall = $recall%.3f")
     assert(recall >= 0.9, f"recall $recall%.3f too low for int8 rounding")
+
+    // retrieve-then-rerank: int8 shortlist + exact float rescoring must
+    // reproduce the exact float top-k, rank included
+    val exactRanked = Ann.bruteForceTopK(spark, df, queries, k)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val reranked = Quantize.rerankTopK(spark, df, queries, k)
+      .select("query_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(reranked === exactRanked, "rerank must equal exact float top-k")
   }
 
   test("LSH ANN recall vs exact baseline on clustered data") {
