@@ -594,6 +594,22 @@ object SparkEntry {
       graft.sim.Quantize.rerankTopK(s, emb, queries, k = 10)
     }),
 
+    // duplicate GROUPS: the q41 exact-Jaccard pair graph collapsed to
+    // connected components (large-star/small-star), one kept representative
+    // per group — the actual corpus dedup decision, transitive closure
+    // included (A~B, B~C group together even when A!~C). DuckDB-oracled
+    // via a recursive-CTE min-reachability over the same pair SQL.
+    "q52_dup_groups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.dedup.NgramJaccard
+        .similarPairs(s, d.select(col("doc_id").as("id"), col("text")),
+          n = 2, tau = 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.dedup.DupGroups
+        .components(s, pairs, d.select(col("doc_id").as("id")))
+        .select(col("id").as("doc_id"), col("group_id"), col("keep"))
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -714,6 +730,24 @@ object SparkEntry {
                    (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) AS jac
                  FROM s a JOIN s b ON a.doc_id < b.doc_id)
            SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
+      "q52_dup_groups" ->
+        """WITH RECURSIVE
+           tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                   FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
+           s AS (SELECT doc_id, list(DISTINCT b) AS bgs FROM bg WHERE b IS NOT NULL GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.bgs, b.bgs))::DOUBLE /
+                       (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) >= 0.5),
+           e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
+           SELECT id AS doc_id, min(r) AS group_id, (min(r) = id) AS keep
+           FROM reach GROUP BY id""",
       "q43_decontaminate" ->
         """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                         FROM documents WHERE len(trim(text)) > 0),
