@@ -610,6 +610,30 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("group_id"), col("keep"))
     }),
 
+    // semantic (embedding-space) dedup, exact small/mid mode: the
+    // chunked-broadcast cosine>=0.5 pair graph collapsed to duplicate
+    // groups with one kept representative — recall-1 verifier for the
+    // LSH q21 scale path, same keep/drop contract as q52
+    "q53_embed_dedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = graft.sim.Ann.thresholdPairs(s, emb, minCosine = 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.dedup.DupGroups
+        .components(s, pairs, emb.select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("group_id"), col("keep"))
+    }),
+
+    // deterministic epoch shuffle: seeded pseudorandom global rank per doc
+    // via the scalable zipWithIndex pattern (range partition + per-partition
+    // row_number + driver offsets) — NEVER a one-task global window
+    "q54_epoch_shuffle" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      graft.sample.EpochShuffle
+        .rank(s, d, graft.sample.EpochShuffle.lcgKey(col("doc_id"), 11L),
+          col("doc_id"))
+        .select(col("doc_id"), col("shuffle_rank"))
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -748,6 +772,27 @@ object SparkEntry {
              SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
            SELECT id AS doc_id, min(r) AS group_id, (min(r) = id) AS keep
            FROM reach GROUP BY id""",
+      "q53_embed_dedup" ->
+        """WITH RECURSIVE
+           p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                 WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]) >= 0.5),
+           e AS (SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p),
+           reach(id, r) AS (
+             SELECT vec_id, vec_id FROM embeddings
+             UNION
+             SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
+           SELECT id AS vec_id, min(r) AS group_id, (min(r) = id) AS keep
+           FROM reach GROUP BY id""",
+      "q54_epoch_shuffle" ->
+        """WITH k AS (SELECT doc_id,
+                        (doc_id * 48271 + 11) % 2147483647 AS t
+                      FROM documents)
+           SELECT doc_id,
+                  row_number() OVER (ORDER BY (t * t) % 2147483647, doc_id)
+                    AS shuffle_rank
+           FROM k""",
       "q43_decontaminate" ->
         """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                         FROM documents WHERE len(trim(text)) > 0),

@@ -317,4 +317,62 @@ object Ann {
           "is not exhaustive for those buckets")
     out
   }
+
+  /** EXACT cosine-threshold self-join: every pair (id_a < id_b) with
+    * cosine >= `minCosine`. The exhaustive complement to the probabilistic
+    * [[nearDuplicatePairs]] — use it as the small/mid-scale verifier (its
+    * recall IS 1 by construction) and switch to the LSH path once the
+    * corpus outgrows a few broadcast budgets.
+    *
+    * Work is inherently O(n^2); the SHAPE keeps it distributed: one side is
+    * collected in bounded vec_id-mod chunks (each under
+    * `maxBroadcastBytes`) and broadcast, the other side streams — so the
+    * cluster does `ceil(corpusBytes / budget)` full scans, each pure
+    * map-side codegen-adjacent work with zero shuffle, and only qualifying
+    * pairs (id, id, cosine) ever cross the wire. A pair is emitted exactly
+    * once: while scanning its LARGER id against the chunk holding the
+    * smaller. */
+  def thresholdPairs(
+      spark: SparkSession,
+      corpus: DataFrame, // columns: vec_id (long), embedding (array<float>)
+      minCosine: Double,
+      maxBroadcastBytes: Long = 64L << 20
+  ): DataFrame = {
+    import spark.implicits._
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+
+    val (n, dim) = {
+      val head = vecs.limit(1).collect()
+      if (head.isEmpty) (0L, 0) else (vecs.count(), head(0)._2.length)
+    }
+    if (n == 0)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+    val bytesPerVec = 4L * dim + 48L // array + tuple + norm overhead
+    val nChunks = math.max(1L, (n * bytesPerVec + maxBroadcastBytes - 1) /
+      maxBroadcastBytes).toInt
+
+    val minC = minCosine
+    val chunks = (0 until nChunks).map { ci =>
+      val chunkB = spark.sparkContext.broadcast(
+        vecs.filter(pmod(col("vec_id"), lit(nChunks)) === ci)
+          .collect().map { case (id, v) => (id, v, norm(v)) })
+      val part = vecs.mapPartitions { it =>
+        val ch = chunkB.value
+        it.flatMap { case (vid, emb) =>
+          val en = norm(emb)
+          ch.iterator.filter(_._1 < vid).flatMap { case (cid, cv, cn) =>
+            val denom = en * cn
+            val c = if (denom == 0.0) 0.0 else dot(cv, emb) / denom
+            if (c >= minC) Some((cid, vid, c)) else None
+          }
+        }
+      }.toDF("id_a", "id_b", "cosine")
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .localCheckpoint(true)
+      chunkB.destroy()
+      part
+    }
+    chunks.reduce(_ union _)
+  }
 }

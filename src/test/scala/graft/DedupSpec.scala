@@ -177,6 +177,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(reranked === exactRanked, "rerank must equal exact float top-k")
   }
 
+  test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {
+    import spark.implicits._
+    val vecs = clusteredVectors()
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+    val tau = 0.8
+    val expected = (for {
+      i <- vecs.indices; j <- (i + 1) until vecs.length
+      c = Ann.cosine(vecs(i)._2, vecs(j)._2) if c >= tau
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    assert(expected.size > 100, "clustered corpus must contain many pairs")
+
+    // budget forces ~8 chunks: the multi-scan path, not one big broadcast
+    val got = Ann.thresholdPairs(spark, df, tau,
+      maxBroadcastBytes = vecs.length.toLong * (4 * 32 + 48) / 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(got.length === got.toSet.size, "each pair must be emitted exactly once")
+    assert(got.toSet === expected)
+  }
+
   test("LSH ANN recall vs exact baseline on clustered data") {
     import spark.implicits._
     val vecs = clusteredVectors()

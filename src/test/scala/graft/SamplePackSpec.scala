@@ -10,6 +10,34 @@ import graft.sample.Stratified
   * sequence packing). */
 class SamplePackSpec extends AnyFunSuite with SparkTestBase {
 
+  test("EpochShuffle: rank equals the driver-sorted order, dense, seed-sensitive") {
+    import spark.implicits._
+    import graft.sample.EpochShuffle
+    // non-contiguous ids so rank != id arithmetic
+    val ids = (0L until 997L).map(i => i * 7 + 3)
+    val df = ids.toDF("doc_id")
+
+    def ranks(seed: Long): Map[Long, Long] =
+      EpochShuffle.rank(spark, df,
+          EpochShuffle.lcgKey(col("doc_id"), seed), col("doc_id"),
+          numPartitions = 4)
+        .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
+
+    val got = ranks(11L)
+    val expected = ids
+      .sortBy { id =>
+        val t = (id * 48271 + 11) % 2147483647L
+        ((t * t) % 2147483647L, id)
+      }
+      .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
+    assert(got === expected, "must equal the global-sort rank across 4 partitions")
+    assert(got.values.toSeq.sorted === (1L to ids.length))
+
+    val other = ranks(12L)
+    val moved = ids.count(id => got(id) != other(id))
+    assert(moved > ids.length / 2, "different epoch seed must permute differently")
+  }
+
   test("Stratified: rates honored within binomial tolerance, subset-stable") {
     import spark.implicits._
     val rows = (0 until 4000).map(i => (s"s${i % 2}", s"payload text $i"))
