@@ -48,7 +48,8 @@ object DupGroups {
   def connectedComponentsWithStats(
       spark: SparkSession,
       edges: DataFrame,
-      maxRounds: Int = 50
+      maxRounds: Int = 50,
+      smallModeMaxEdges: Long = 1L << 21
   ): (DataFrame, Int) = {
     val u = col("u"); val v = col("v")
 
@@ -62,8 +63,39 @@ object DupGroups {
       .localCheckpoint(true)
 
     var sig = edgeSignature(e)
+
+    // Near-dup pair graphs are sparse relative to the corpus (edges ~
+    // duplicate docs, not all docs): under the budget (~32 MB at the
+    // default), a driver union-find replaces O(log n) shuffle ROUNDS with
+    // one collect — same small/large-mode split as [[MinHashLSH]]. The
+    // iterative path below is the 100-TB mode (forced in tests via
+    // smallModeMaxEdges = 0).
+    if (sig._1 <= smallModeMaxEdges) {
+      import spark.implicits._
+      val arr = e.as[(Long, Long)].collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val ids = arr.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      val asg = ids.iterator.map(id => (id, find(id))).toSeq
+      return (asg.toDF("id", "group_id"), 0)
+    }
+
     var rounds = 0
-    var converged = e.isEmpty
+    var converged = sig._1 == 0L
 
     while (!converged && rounds < maxRounds) {
       // LARGE-STAR over the bidirected graph: m(x) = min(x, N(x));

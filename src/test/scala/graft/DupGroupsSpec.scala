@@ -30,13 +30,24 @@ class DupGroupsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  /** Runs BOTH modes: `components` takes the small-mode (driver
+    * union-find) path at these sizes; the distributed large/small-star
+    * path is forced with smallModeMaxEdges = 0 and must agree on every
+    * id that appears in an edge. */
   private def run(n: Long, edges: Seq[(Long, Long)]): (Map[Long, Long], Int) = {
     import spark.implicits._
     val e = edges.toDF("src", "dst")
     val v = (0L until n).toDF("id")
     val got = DupGroups.components(spark, e, v)
       .select("id", "group_id").as[(Long, Long)].collect().toMap
-    val (_, rounds) = DupGroups.connectedComponentsWithStats(spark, e)
+    val (asgDist, rounds) =
+      DupGroups.connectedComponentsWithStats(spark, e, smallModeMaxEdges = 0)
+    val dist = asgDist.select("id", "group_id").as[(Long, Long)].collect().toMap
+    val edgeIds = edges.flatMap(p => Seq(p._1, p._2)).filter { id =>
+      edges.exists(q => q._1 != q._2 && (q._1 == id || q._2 == id))
+    }.toSet
+    assert(dist === got.filter { case (id, _) => edgeIds.contains(id) },
+      "distributed and small-mode assignments must agree")
     (got, rounds)
   }
 
