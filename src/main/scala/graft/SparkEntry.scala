@@ -634,6 +634,17 @@ object SparkEntry {
         .select(col("doc_id"), col("shuffle_rank"))
     }),
 
+    // temperature-scaled source-mixture weights (exponent-alpha sampling,
+    // alpha=0.5): the domain-mixing step between cleaning and the epoch
+    // writer — one aggregate + one scalar normalizer, size-independent
+    "q55_mixture_weights" -> ((s, dir) => {
+      graft.sample.Mixture
+        .weights(docs(s, dir), col("source"), col("n_chars"), alpha = 0.5)
+        .select(col("group").as("source"), col("n_docs"), col("mass"),
+          col("weight"))
+        .orderBy("source")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -793,6 +804,15 @@ object SparkEntry {
                   row_number() OVER (ORDER BY (t * t) % 2147483647, doc_id)
                     AS shuffle_rank
            FROM k""",
+      "q55_mixture_weights" ->
+        """WITH g AS (SELECT source, count(*) AS n_docs,
+                        cast(sum(n_chars) AS BIGINT) AS mass
+                      FROM documents GROUP BY source)
+           SELECT source, n_docs, mass,
+                  round(pow(mass::DOUBLE, 0.5) /
+                        (SELECT sum(pow(mass::DOUBLE, 0.5)) FROM g), 6)
+                    AS weight
+           FROM g ORDER BY source""",
       "q43_decontaminate" ->
         """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
                         FROM documents WHERE len(trim(text)) > 0),

@@ -1,0 +1,42 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Temperature-scaled DOMAIN-MIXTURE weights — the "how much of each
+  * source goes into the training mix" step that sits between cleaning
+  * (keep/drop) and the epoch writer. Exponent-alpha sampling as used for
+  * multilingual/multi-domain corpora (w_g ∝ mass_g^alpha): alpha = 1
+  * reproduces natural proportions, alpha = 0 is uniform, intermediate
+  * values up-sample small domains without letting a giant crawl source
+  * drown everything.
+  *
+  * Shape: one map-side-combined aggregate to |groups| rows, one scalar
+  * (the normalizer) to the driver — nothing about the corpus size ever
+  * leaves the executors, so the op is identical at 100 TB.
+  */
+object Mixture {
+
+  /** Per-group mixing weights over `mass` (tokens, chars, bytes…):
+    * columns (group, n_docs, mass, weight) with weight = mass^alpha
+    * normalized to sum 1, rounded to 6 dp (absorbs summation-order ulps).
+    */
+  def weights(
+      df: DataFrame,
+      group: Column,
+      mass: Column,
+      alpha: Double = 0.5
+  ): DataFrame = {
+    val g = df
+      .groupBy(group.as("group"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(mass).cast("bigint").as("mass"))
+    val norm = g
+      .agg(sum(pow(col("mass").cast("double"), lit(alpha))))
+      .head().getDouble(0)
+    g.withColumn(
+      "weight",
+      round(pow(col("mass").cast("double"), lit(alpha)) / lit(norm), 6))
+  }
+}

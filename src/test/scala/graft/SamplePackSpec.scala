@@ -38,6 +38,28 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
     assert(moved > ids.length / 2, "different epoch seed must permute differently")
   }
 
+  test("Mixture: alpha endpoints recover natural and uniform proportions") {
+    import spark.implicits._
+    import graft.sample.Mixture
+    // three sources with mass 100 / 400 / 500
+    val rows = (0 until 100).map(i => ("a", 1)) ++
+      (0 until 100).map(i => ("b", 4)) ++ (0 until 100).map(i => ("c", 5))
+    val df = rows.toDF("source", "sz")
+
+    def w(alpha: Double): Map[String, Double] =
+      Mixture.weights(df, col("source"), col("sz"), alpha)
+        .select("group", "weight").as[(String, Double)].collect().toMap
+
+    val natural = w(1.0)
+    assert(natural === Map("a" -> 0.1, "b" -> 0.4, "c" -> 0.5))
+    val uniform = w(0.0)
+    assert(uniform.values.forall(v => math.abs(v - 1.0 / 3) < 1e-5))
+    val tempered = w(0.5)
+    assert(math.abs(tempered.values.sum - 1.0) < 1e-5)
+    assert(tempered("a") > 0.1 && tempered("a") < 1.0 / 3,
+      "alpha=0.5 must up-sample the small source toward (not past) uniform")
+  }
+
   test("Stratified: rates honored within binomial tolerance, subset-stable") {
     import spark.implicits._
     val rows = (0 until 4000).map(i => (s"s${i % 2}", s"payload text $i"))
