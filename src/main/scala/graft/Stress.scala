@@ -65,12 +65,25 @@ object Stress {
       graft.dedup.SimHash.nearDuplicates(spark, docs).count()
     }
 
+    // duplicate-group resolution over the MinHash pair graph, distributed
+    // star-contraction FORCED (smallModeMaxEdges = 0) — the shuffle-round
+    // path a web-scale pair graph takes
+    val pairs = graft.dedup.MinHashLSH.nearDuplicates(spark, docs,
+      graft.dedup.MinHashLSH.Config(maxBroadcastBytes = midBudget))
+      .select(col("id_a").as("src"), col("id_b").as("dst")) // materialized
+    val ((ccGroups, ccRounds), ccSec) = timed {
+      val (asg, rounds) = graft.dedup.DupGroups
+        .connectedComponentsWithStats(spark, pairs, smallModeMaxEdges = 0)
+      (asg.select(countDistinct(col("group_id"))).head().getLong(0), rounds)
+    }
+
     val json =
       f"""{"stress":"$sfLabel","docs":$nDocs,"cpus":$cpus,""" +
         f""""minhash_large":{"sec":$mhSec%.1f,"pairs":$mhPairs,"truncated_buckets":${mhStats.truncatedBuckets.value},"dropped_ids":${mhStats.droppedIds.value}},""" +
         f""""minhash_mid":{"sec":$mhMidSec%.1f,"pairs":$mhMidPairs},""" +
         f""""ngram_jaccard_large":{"sec":$njSec%.1f,"pairs":$njPairs},""" +
-        f""""simhash":{"sec":$shSec%.1f,"pairs":$shPairs}}"""
+        f""""simhash":{"sec":$shSec%.1f,"pairs":$shPairs},""" +
+        f""""dup_groups_dist":{"sec":$ccSec%.1f,"groups":$ccGroups,"rounds":$ccRounds}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
     try java.nio.file.Files.write(
