@@ -133,6 +133,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"text column crosses an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("epoch shuffle: range exchange, never a one-task global window") {
+    import spark.implicits._
+    val df = (0L until 5000L).toDF("doc_id")
+    val ranked = graft.sample.EpochShuffle.rank(spark, df,
+      graft.sample.EpochShuffle.lcgKey(col("doc_id"), 7L), col("doc_id"),
+      numPartitions = 8)
+    val plan = executedPlan(ranked)
+    assert(plan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$plan")
+    // the window must be partitioned by _pid — a SinglePartition window
+    // (the naive row_number-over-everything) collapses 100 TB to one task
+    assert(!plan.contains("Window [") ||
+      !plan.contains("SinglePartition"),
+      s"global single-partition window detected:\n$plan")
+  }
+
+  test("threshold pair scan keeps embeddings out of every exchange") {
+    import spark.implicits._
+    // runtime metrics, not plan-parsed: the per-chunk scans live behind
+    // localCheckpoint, so the union's plan alone proves nothing
+    val vecs = (0L until 1500L)
+      .map(i => (i, Array.fill(128)((i % 7).toFloat + 1f)))
+    val df = vecs.toDF("vec_id", "embedding").localCheckpoint(true)
+    val embBytes = 1500L * 128 * 4 // 768 KB of embeddings
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // small budget forces several chunks
+      graft.sim.Ann.thresholdPairs(spark, df, 0.999,
+        maxBroadcastBytes = 1500L * (128 * 4 + 48) / 4).collect()
+      Thread.sleep(1000) // let straggler task-end events drain
+      // the only shuffle is the internal count()'s few-hundred-byte
+      // aggregate — embeddings themselves must never cross an exchange
+      assert(shuffleWrite.get() < 32 * 1024,
+        s"threshold scan shuffled ${shuffleWrite.get()} bytes " +
+          s"(embeddings are $embBytes — they must stay map-side)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one key with 10k rows, 50 keys with 10 rows
