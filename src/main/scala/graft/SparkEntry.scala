@@ -645,6 +645,20 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // exact frequent bigrams via the two-pass Misra-Gries + recount
+    // pattern: pass 1 bounds candidates with |partitions|*ceil(1/phi)
+    // sketch counters (never shuffles the full distinct-gram space),
+    // pass 2 recounts only candidates — output provably EXACT
+    "q56_frequent_ngrams" -> ((s, dir) => {
+      import s.implicits._
+      val grams = graft.text.Ngrams
+        .explodeNgrams(docs(s, dir), "doc_id", "text", n = 2)
+        .select(col("gram")).as[String]
+      graft.text.HeavyHitters.frequentExact(s, grams, phi = 0.001)
+        .select(col("item").as("gram"), col("n"))
+        .orderBy("gram")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -804,6 +818,16 @@ object SparkEntry {
                   row_number() OVER (ORDER BY (t * t) % 2147483647, doc_id)
                     AS shuffle_rank
            FROM k""",
+      "q56_frequent_ngrams" ->
+        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                        FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           bg AS (SELECT t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
+           g AS (SELECT b FROM bg WHERE b IS NOT NULL)
+           SELECT b AS gram, cast(count(*) AS BIGINT) AS n
+           FROM g GROUP BY b
+           HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM g))
+           ORDER BY gram""",
       "q55_mixture_weights" ->
         """WITH g AS (SELECT source, count(*) AS n_docs,
                         cast(sum(n_chars) AS BIGINT) AS mass
