@@ -659,6 +659,19 @@ object SparkEntry {
         .orderBy("gram")
     }),
 
+    // deterministic weighted interleave: Mixture weights drive the
+    // proportional stream-merge order a data loader consumes — every
+    // output prefix holds each source in proportion to its weight
+    "q57_weighted_interleave" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val w = graft.sample.Mixture
+        .weights(d, col("source"), col("n_chars"), alpha = 0.5)
+      graft.sample.Interleave
+        .byWeight(s, d.select(col("doc_id"), col("source")),
+          col("source"), col("doc_id"), w)
+        .select(col("doc_id"), col("source"), col("interleave_rank"))
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -828,6 +841,23 @@ object SparkEntry {
            FROM g GROUP BY b
            HAVING count(*) >= ceil(0.001 * (SELECT count(*) FROM g))
            ORDER BY gram""",
+      "q57_weighted_interleave" ->
+        """WITH g AS (SELECT source, cast(sum(n_chars) AS BIGINT) AS mass
+                      FROM documents GROUP BY source),
+           w AS (SELECT source,
+                   round(pow(mass::DOUBLE, 0.5) /
+                         (SELECT sum(pow(mass::DOUBLE, 0.5)) FROM g), 6)
+                     AS weight
+                 FROM g),
+           r AS (SELECT d.doc_id, d.source,
+                   row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
+                     AS rn,
+                   w.weight
+                 FROM documents d JOIN w ON d.source = w.source)
+           SELECT doc_id, source,
+                  row_number() OVER (ORDER BY (rn - 0.5) / weight, doc_id)
+                    AS interleave_rank
+           FROM r""",
       "q55_mixture_weights" ->
         """WITH g AS (SELECT source, count(*) AS n_docs,
                         cast(sum(n_chars) AS BIGINT) AS mass

@@ -1,0 +1,57 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic WEIGHTED INTERLEAVE — the stream-merge a training-data
+  * loader performs: given per-source mixing weights (from [[Mixture]]),
+  * emit documents so that every prefix of the output contains each source
+  * in proportion to its weight, reproducibly.
+  *
+  * Classic deterministic stratified merge: the r-th document of source s
+  * gets key (r - 0.5) / w_s — source positions spread evenly over the
+  * unit timeline at density w_s — and the output order is ascending key.
+  * A source with twice the weight appears twice as often in every window
+  * of the output, and the schedule is a pure function of (weights, ids):
+  * re-runs are byte-identical, unlike an RNG-drawn mixture.
+  *
+  * Scale shape: one window partitioned BY SOURCE (each source sorts its
+  * own slice — never a single global task), a broadcast join against the
+  * |sources|-row weight table, then the scalable global-rank machinery of
+  * [[EpochShuffle.rank]] (range partition + per-partition row_number +
+  * driver offsets) over the interleave key.
+  */
+object Interleave {
+
+  /** Adds `interleave_rank` (dense, 1-based): the position of each row in
+    * the weighted merge order. `weights` needs columns (group, weight) as
+    * produced by [[Mixture.weights]]; rows of `df` whose source is absent
+    * from `weights` are dropped (they have no mixing mass). `tie` must be
+    * row-unique and orders rows WITHIN a source. */
+  def byWeight(
+      spark: SparkSession,
+      df: DataFrame,
+      source: Column,
+      tie: Column,
+      weights: DataFrame,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    val perSource = Window.partitionBy(source).orderBy(tie)
+    val keyed = df
+      .withColumn("_rn_src", row_number().over(perSource))
+      .join(
+        broadcast(weights.select(col("group").as("_grp"), col("weight"))),
+        source === col("_grp"))
+      .where(col("weight") > 0)
+      .withColumn(
+        "_ikey",
+        (col("_rn_src").cast("double") - lit(0.5)) / col("weight"))
+      .drop("_grp", "weight", "_rn_src")
+
+    EpochShuffle
+      .rank(spark, keyed, col("_ikey"), tie, numPartitions)
+      .withColumnRenamed("shuffle_rank", "interleave_rank")
+      .drop("_ikey")
+  }
+}

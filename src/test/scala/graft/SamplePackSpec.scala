@@ -60,6 +60,41 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
       "alpha=0.5 must up-sample the small source toward (not past) uniform")
   }
 
+  test("Interleave: every prefix proportional to weights, discrepancy <= 1") {
+    import spark.implicits._
+    import graft.sample.{Interleave, Mixture}
+    // masses 400 / 100 / 100 at alpha=1 → weights 2/3, 1/6, 1/6
+    val rows = (0 until 100).map(i => (s"a$i", "big", 4)) ++
+      (0 until 100).map(i => (s"b$i", "s1", 1)) ++
+      (0 until 100).map(i => (s"c$i", "s2", 1))
+    val df = rows.toDF("doc_id", "source", "sz")
+    val w = Mixture.weights(df, col("source"), col("sz"), alpha = 1.0)
+
+    val out = Interleave
+      .byWeight(spark, df.select("doc_id", "source"), col("source"),
+        col("doc_id"), w, numPartitions = 4)
+      .select("doc_id", "source", "interleave_rank")
+      .as[(String, String, Long)].collect().sortBy(_._3)
+
+    // every doc appears once (all sources carry weight > 0), ranks dense
+    assert(out.length === 300)
+    assert(out.map(_._3).toSeq === (1L to out.length))
+
+    // prefix proportionality: the (r-0.5)/w schedule has per-source
+    // discrepancy <= 1 at every prefix UNTIL a source exhausts its supply
+    // (here big runs dry at L = 100/(2/3) = 150; beyond that only the
+    // leftover sources can appear — inherent to finite streams)
+    val weights = w.select("group", "weight").as[(String, Double)].collect().toMap
+    for (l <- Seq(30, 60, 150)) {
+      val prefix = out.take(l)
+      weights.foreach { case (s, wt) =>
+        val c = prefix.count(_._2 == s)
+        assert(math.abs(c - l * wt) <= 1.0,
+          s"prefix $l has $c of $s, expected ~${l * wt}")
+      }
+    }
+  }
+
   test("Stratified: rates honored within binomial tolerance, subset-stable") {
     import spark.implicits._
     val rows = (0 until 4000).map(i => (s"s${i % 2}", s"payload text $i"))
