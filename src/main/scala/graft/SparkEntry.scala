@@ -853,7 +853,8 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY d.source ORDER BY d.doc_id)
                      AS rn,
                    w.weight
-                 FROM documents d JOIN w ON d.source = w.source)
+                 FROM documents d JOIN w ON d.source = w.source
+                 WHERE w.weight > 0)
            SELECT doc_id, source,
                   row_number() OVER (ORDER BY (rn - 0.5) / weight, doc_id)
                     AS interleave_rank

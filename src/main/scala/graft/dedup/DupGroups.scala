@@ -133,6 +133,12 @@ object DupGroups {
       rounds += 1
     }
 
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds — " +
+          "the edge list is not yet a star forest and assignments would " +
+          "be wrong; raise maxRounds (O(log^2 n) suffices per SoCC'14)")
+
     // At the fixed point every edge is (member -> group minimum): the
     // assignment is the edge list itself plus one row per root.
     val members = e.select(u.as("id"), v.as("group_id"))

@@ -42,6 +42,15 @@ object EpochShuffle {
     pmod(t * t, m)
   }
 
+  /** The pre-materialization range-partitioned stage — separate so the
+    * plan audit can assert the range exchange that [[rank]]'s
+    * localCheckpoint otherwise hides behind a Scan ExistingRDD. */
+  private[graft] def keyedStage(
+      df: DataFrame, key: Column, tie: Column, p: Int): DataFrame =
+    df.withColumn("_sk", key)
+      .repartitionByRange(p, col("_sk"), tie)
+      .withColumn("_pid", spark_partition_id())
+
   /** `df` plus a `shuffle_rank` column: the dense 1-based position of the
     * row in ascending (`key`, `tie`) order. `tie` must be row-unique for a
     * total (reproducible) order. */
@@ -55,9 +64,14 @@ object EpochShuffle {
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    val keyed = df.withColumn("_sk", key)
-      .repartitionByRange(p, col("_sk"), tie)
-      .withColumn("_pid", spark_partition_id())
+    // MATERIALIZED (localCheckpoint) because two separate jobs read it —
+    // the offsets collect and the final join. repartitionByRange samples
+    // boundaries per execution, so re-evaluating the lazy exchange in the
+    // second job could assign boundary rows to different partitions than
+    // the ones the offsets were counted on (duplicate/missing ranks).
+    // Pinning the partitioning is what any zipWithIndex-style global rank
+    // fundamentally requires.
+    val keyed = keyedStage(df, key, tie, p).localCheckpoint(true)
 
     val local = keyed.withColumn(
       "_rn",

@@ -32,11 +32,16 @@ object Mixture {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(mass).cast("bigint").as("mass"))
-    val norm = g
+    // null on empty input (SQL sum over zero rows); 0 normalizer when
+    // every mass is 0 — both would otherwise poison downstream ordering
+    // (NPE / NaN weights in Interleave's sort key)
+    val norm = Option(g
       .agg(sum(pow(col("mass").cast("double"), lit(alpha))))
-      .head().getDouble(0)
-    g.withColumn(
-      "weight",
-      round(pow(col("mass").cast("double"), lit(alpha)) / lit(norm), 6))
+      .head().getAs[java.lang.Double](0)).map(_.doubleValue).getOrElse(0.0)
+    val w =
+      if (norm > 0)
+        round(pow(col("mass").cast("double"), lit(alpha)) / lit(norm), 6)
+      else lit(0.0)
+    g.withColumn("weight", w)
   }
 }

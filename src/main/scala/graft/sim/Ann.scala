@@ -354,8 +354,12 @@ object Ann {
 
     val minC = minCosine
     val chunks = (0 until nChunks).map { ci =>
+      // chunk membership by HASH residue, not raw id residue: ids that
+      // share a stride (all-even survivors of an upstream filter, say)
+      // would pile into one raw-residue chunk and blow the broadcast
+      // budget the chunking exists to enforce
       val chunkB = spark.sparkContext.broadcast(
-        vecs.filter(pmod(col("vec_id"), lit(nChunks)) === ci)
+        vecs.filter(pmod(xxhash64(col("vec_id")), lit(nChunks)) === ci)
           .collect().map { case (id, v) => (id, v, norm(v)) })
       val part = vecs.mapPartitions { it =>
         val ch = chunkB.value

@@ -62,11 +62,25 @@ object Quantize {
       .select(col("vec_id"), col("q._1").as("qvec"), col("q._2").as("scale"))
   }
 
-  /** Two-stage retrieve-then-rerank: int8 shortlist of k×oversample
-    * candidates (quarter-byte scan), then exact float32 re-scoring of the
-    * tiny shortlist — the standard shape that recovers exact ranking while
-    * the full corpus is only ever read in quantized form. The shortlist id
-    * set is |Q|·k·oversample (driver-trivial); the float scan prunes to it
+  /** Sound per-pair error bound for int8 max-abs quantized cosine:
+    * |cos(a,b) − cosQ(qa,qb)| ≤ 2·asin(0.5·√d / 127). Derivation: the
+    * scale-free image w = v·127/max|v| has ‖w‖ ≥ 127 and rounding moves it
+    * by ‖e‖ ≤ 0.5·√d, so each vector's angle shifts by ≤ asin(‖e‖/‖w‖) and
+    * cosine is 1-Lipschitz in the angle. */
+  def cosineErrorBound(dim: Int): Double =
+    2.0 * math.asin(math.min(1.0, 0.5 * math.sqrt(dim.toDouble) / 127.0))
+
+  /** Two-stage retrieve-then-rerank with a SOUNDNESS CERTIFICATE: int8
+    * shortlist of k×oversample candidates (quarter-byte scan), exact
+    * float32 re-scoring of the tiny shortlist, then a per-query check
+    * that the k-th re-scored score strictly beats the best score any
+    * non-shortlisted vector could possibly have (its quantized score is ≤
+    * the shortlist cutoff, and its true score is within
+    * [[cosineErrorBound]] of that). Queries whose margin is too thin fall
+    * back to the exact float scan — so the result ALWAYS equals
+    * [[Ann.bruteForceTopK]], and the full-corpus float read happens only
+    * for the (rare) uncertifiable queries. The shortlist id set is
+    * |Q|·k·oversample (driver-trivial); the float rescore prunes to it
     * via an IN filter pushed to the column source. */
   def rerankTopK(
       spark: SparkSession,
@@ -75,12 +89,37 @@ object Quantize {
       k: Int,
       oversample: Int = 4
   ): DataFrame = {
-    import spark.implicits._
-    val shortlist = topKQuantized(
-      spark, quantizeCorpus(corpus), queries, k * oversample)
-      .select("vec_id").distinct().as[Long].collect()
-    Ann.bruteForceTopK(
-      spark, corpus.filter(col("vec_id").isin(shortlist: _*)), queries, k)
+    if (queries.isEmpty)
+      return Ann.bruteForceTopK(spark, corpus, queries, k)
+    val short = topKQuantized(
+      spark, quantizeCorpus(corpus), queries, k * oversample).collect()
+    // worst kept quantized score per query: every OUTSIDE vector scores ≤ it
+    val cutoffs = short.groupBy(_.getLong(0))
+      .map { case (q, rs) => (q, rs.map(_.getDouble(2)).min) }
+    val ids = short.map(_.getLong(1)).distinct.toSeq
+
+    val rescored = Ann.bruteForceTopK(
+      spark, corpus.filter(col("vec_id").isin(ids: _*)), queries, k)
+      .localCheckpoint(true) // read twice: certificate + result
+    val kth = rescored.collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => (q, rs.map(_.getDouble(2)).min) }
+
+    // 2e-6 slack: both score columns round to 6 dp before the comparison
+    val eps = cosineErrorBound(queries.head._2.length) + 2e-6
+    val uncertified = queries.filter { case (qid, _) =>
+      kth.getOrElse(qid, Double.NegativeInfinity) <=
+        cutoffs.getOrElse(qid, Double.PositiveInfinity) + eps
+    }
+    if (uncertified.isEmpty) rescored
+    else {
+      val bad = uncertified.map(_._1).toSet
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"rerank_topk: ${bad.size}/${queries.length} queries below the " +
+          s"certificate margin (eps=$eps) — exact float fallback for those")
+      val okPart = rescored.filter(!col("query_id").isin(bad.toSeq: _*))
+      val fixPart = Ann.bruteForceTopK(spark, corpus, uncertified, k)
+      okPart.unionByName(fixPart)
+    }
   }
 
   /** Exact top-k under int8 cosine: same broadcast-queries + per-partition

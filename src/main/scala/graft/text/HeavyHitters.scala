@@ -51,12 +51,8 @@ object HeavyHitters {
 
     /** Candidate union (pointwise-sum merge keeps the no-false-negative
       * guarantee; extra candidates die in the exact recount). */
-    def mergeUnion(o: MisraGries): MisraGries = {
-      val it = o.counts.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        counts.put(e.getKey, counts.get(e.getKey) + e.getValue)
-      }
+    def absorb(entries: Array[(String, Long)]): MisraGries = {
+      entries.foreach { case (x, c) => counts.put(x, counts.get(x) + c) }
       this
     }
   }
@@ -79,9 +75,7 @@ object HeavyHitters {
     var total = 0L
     partials.foreach { case (n, arr) =>
       total += n
-      arr.foreach { case (x, c) =>
-        merged.counts.put(x, merged.counts.get(x) + c)
-      }
+      merged.absorb(arr)
     }
     import scala.jdk.CollectionConverters._
     (merged.counts.keySet().asScala.toArray, total)

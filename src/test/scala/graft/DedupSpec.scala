@@ -175,6 +175,25 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("query_id", "vec_id", "rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(reranked === exactRanked, "rerank must equal exact float top-k")
+
+    // adversarial: 300 vectors all within quantization noise of each
+    // other — the int8 shortlist ordering is meaningless, the soundness
+    // certificate must fail, and the float fallback must keep exactness
+    val base = Array.fill(64)(1.0f)
+    val tied = (0L until 300L).map { i =>
+      (i, base.zipWithIndex.map { case (x, j) =>
+        x + ((i * 31 + j) % 7).toFloat * 1e-4f
+      })
+    }
+    val tdf = tied.toSeq.toDF("vec_id", "embedding")
+    val tq = tied.take(3).toArray
+    val tExact = Ann.bruteForceTopK(spark, tdf, tq, k)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    val tRerank = Quantize.rerankTopK(spark, tdf, tq, k)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(tRerank === tExact, "fallback path must preserve exactness")
   }
 
   test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {

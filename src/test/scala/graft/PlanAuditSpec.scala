@@ -136,12 +136,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
   test("epoch shuffle: range exchange, never a one-task global window") {
     import spark.implicits._
     val df = (0L until 5000L).toDF("doc_id")
+    val key = graft.sample.EpochShuffle.lcgKey(col("doc_id"), 7L)
+    // the range exchange lives in the keyed stage (rank() materializes it
+    // behind a localCheckpoint, which hides it from the final plan)
+    val keyedPlan = executedPlan(
+      graft.sample.EpochShuffle.keyedStage(df, key, col("doc_id"), 8))
+    assert(keyedPlan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$keyedPlan")
     val ranked = graft.sample.EpochShuffle.rank(spark, df,
-      graft.sample.EpochShuffle.lcgKey(col("doc_id"), 7L), col("doc_id"),
-      numPartitions = 8)
+      key, col("doc_id"), numPartitions = 8)
     val plan = executedPlan(ranked)
-    assert(plan.contains("rangepartitioning"),
-      s"expected a range exchange:\n$plan")
     // the window must be partitioned by _pid — a SinglePartition window
     // (the naive row_number-over-everything) collapses 100 TB to one task
     assert(!plan.contains("Window [") ||
