@@ -672,6 +672,25 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("interleave_rank"))
     }),
 
+    // dedup report: duplicate-group SIZE histogram over the q52 component
+    // assignment — how much of the corpus is singleton vs 2-dup vs larger
+    // clusters, and how many docs dedup would remove
+    "q58_dedup_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = graft.dedup.NgramJaccard
+        .similarPairs(s, d.select(col("doc_id").as("id"), col("text")),
+          n = 2, tau = 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      graft.dedup.DupGroups
+        .components(s, pairs, d.select(col("doc_id").as("id")))
+        .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+        .groupBy("group_size")
+        .agg(
+          count(lit(1)).as("n_groups"),
+          (sum("group_size") - count(lit(1))).as("n_removable"))
+        .orderBy("group_size")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -810,6 +829,27 @@ object SparkEntry {
              SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r)
            SELECT id AS doc_id, min(r) AS group_id, (min(r) = id) AS keep
            FROM reach GROUP BY id""",
+      "q58_dedup_report" ->
+        """WITH RECURSIVE
+           tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                   FROM documents WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
+           s AS (SELECT doc_id, list(DISTINCT b) AS bgs FROM bg WHERE b IS NOT NULL GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM s a JOIN s b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.bgs, b.bgs))::DOUBLE /
+                       (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) >= 0.5),
+           e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+           comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+           gs AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+           SELECT group_size, cast(count(*) AS BIGINT) AS n_groups,
+                  cast(sum(group_size) - count(*) AS BIGINT) AS n_removable
+           FROM gs GROUP BY group_size ORDER BY group_size""",
       "q53_embed_dedup" ->
         """WITH RECURSIVE
            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
