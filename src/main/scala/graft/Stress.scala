@@ -78,13 +78,45 @@ object Stress {
       (asg.select(countDistinct(col("group_id"))).head().getLong(0), rounds)
     }
 
+    // epoch shuffle: seeded global rank over the whole corpus (range
+    // exchange + materialize + offsets — the full zipWithIndex machinery)
+    val (esRows, esSec) = timed {
+      graft.sample.EpochShuffle.rank(spark, docs.select("id"),
+        graft.sample.EpochShuffle.lcgKey(col("id"), 3L), col("id")).count()
+    }
+
+    // mixture + weighted interleave over 16 synthetic sources
+    val (ilRows, ilSec) = timed {
+      val sourced = docs.withColumn(
+        "source", concat(lit("s"), pmod(col("id"), lit(16))))
+      val w = graft.sample.Mixture.weights(
+        sourced, col("source"), length(col("text")), alpha = 0.5)
+      graft.sample.Interleave
+        .byWeight(spark, sourced.select("id", "source"), col("source"),
+          col("id"), w)
+        .count()
+    }
+
+    // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
+    val (hhRows, hhSec) = timed {
+      import spark.implicits._
+      val grams = graft.text.Ngrams
+        .explodeNgrams(docs.withColumnRenamed("id", "doc_id"),
+          "doc_id", "text", n = 2)
+        .select(col("gram")).as[String]
+      graft.text.HeavyHitters.frequentExact(spark, grams, phi = 1e-4).count()
+    }
+
     val json =
       f"""{"stress":"$sfLabel","docs":$nDocs,"cpus":$cpus,""" +
         f""""minhash_large":{"sec":$mhSec%.1f,"pairs":$mhPairs,"truncated_buckets":${mhStats.truncatedBuckets.value},"dropped_ids":${mhStats.droppedIds.value}},""" +
         f""""minhash_mid":{"sec":$mhMidSec%.1f,"pairs":$mhMidPairs},""" +
         f""""ngram_jaccard_large":{"sec":$njSec%.1f,"pairs":$njPairs},""" +
         f""""simhash":{"sec":$shSec%.1f,"pairs":$shPairs},""" +
-        f""""dup_groups_dist":{"sec":$ccSec%.1f,"groups":$ccGroups,"rounds":$ccRounds}}"""
+        f""""dup_groups_dist":{"sec":$ccSec%.1f,"groups":$ccGroups,"rounds":$ccRounds},""" +
+        f""""epoch_shuffle":{"sec":$esSec%.1f,"rows":$esRows},""" +
+        f""""interleave":{"sec":$ilSec%.1f,"rows":$ilRows},""" +
+        f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
     try java.nio.file.Files.write(

@@ -38,7 +38,12 @@ object EpochShuffle {
     * row-unique `tie` column keeps the total order deterministic. */
   def lcgKey(id: Column, seed: Long): Column = {
     val m = lit(2147483647L)
-    val t = pmod(id * lit(48271L) + lit(seed), m)
+    // pre-fold the id into [0, m) so FULL-RANGE 64-bit ids (xxhash64 doc
+    // keys) can't overflow the multiply under ANSI mode: folded * 48271 <
+    // 2^47 and t*t < 2^62 both fit in int64. For ids already below m the
+    // fold is the identity, so small-id oracles replay the same formula.
+    val folded = pmod(id, m)
+    val t = pmod(folded * lit(48271L) + lit(seed), m)
     pmod(t * t, m)
   }
 

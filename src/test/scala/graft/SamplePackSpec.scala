@@ -13,8 +13,10 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
   test("EpochShuffle: rank equals the driver-sorted order, dense, seed-sensitive") {
     import spark.implicits._
     import graft.sample.EpochShuffle
-    // non-contiguous ids so rank != id arithmetic
-    val ids = (0L until 997L).map(i => i * 7 + 3)
+    // non-contiguous ids so rank != id arithmetic, plus FULL-RANGE 64-bit
+    // hash ids (negative included) — the ANSI-overflow regression case
+    val ids = (0L until 997L).map(i => i * 7 + 3) ++
+      Seq(Long.MaxValue, Long.MinValue + 1, -987654321098765432L)
     val df = ids.toDF("doc_id")
 
     def ranks(seed: Long): Map[Long, Long] =
@@ -24,10 +26,12 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
         .select("doc_id", "shuffle_rank").as[(Long, Long)].collect().toMap
 
     val got = ranks(11L)
+    val m = 2147483647L
     val expected = ids
       .sortBy { id =>
-        val t = (id * 48271 + 11) % 2147483647L
-        ((t * t) % 2147483647L, id)
+        val folded = ((id % m) + m) % m // pmod semantics for negatives
+        val t = (folded * 48271 + 11) % m
+        ((t * t) % m, id)
       }
       .zipWithIndex.map { case (id, i) => (id, i + 1L) }.toMap
     assert(got === expected, "must equal the global-sort rank across 4 partitions")
