@@ -78,8 +78,12 @@ object MinHashLSH {
     def sampleSlots: Int = math.min(16, numHashes)
 
     /** Sketch-state bytes (sig + bands + overhead) for n docs — the term
-      * the small-mode gate tests against maxBroadcastBytes. */
-    def stateBytes(nDocs: Long): Long = nDocs * (numHashes + bands + 2) * 8
+      * the small-mode gate tests against maxBroadcastBytes. The 32-long
+      * overhead term prices the REAL JVM cost of the two broadcast
+      * Map[Long, _] structures (boxed keys + HAMT nodes + array headers,
+      * ~128 B per entry per map), not just the payload — an optimistic
+      * 2-long estimate admitted corpora ~1.5-2× over budget. */
+    def stateBytes(nDocs: Long): Long = nDocs * (numHashes + bands + 32) * 8
 
     /** A budget that fails the small-mode gate but admits the 16-slot
       * sample table — the MID tier (map-side sampled prefilter). Exists so
@@ -106,11 +110,29 @@ object MinHashLSH {
   ) extends Serializable {
     @transient private lazy val memo =
       new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Array[Long]]()
-    def shingles(id: Long): Array[Long] =
-      memo.computeIfAbsent(id, _ => {
-        val t = texts(id)
-        if (t == null) Array.empty[Long] else Shingles.charShingles(t, k)
-      })
+    @transient private lazy val memoLongs =
+      new java.util.concurrent.atomic.AtomicLong(0L)
+    def shingles(id: Long): Array[Long] = {
+      val cached = memo.get(id)
+      if (cached != null) return cached
+      val t = texts(id)
+      val sh = if (t == null) Array.empty[Long]
+        else Shingles.charShingles(t, k)
+      // BOUNDED memo: shingle arrays cost ~8 bytes per source character —
+      // an uncapped cache could grow to ~8× the text bytes the broadcast
+      // gate admitted. Past the cap, compute-without-caching: correctness
+      // unchanged, verify degrades to re-shingling the coldest docs.
+      if (memoLongs.addAndGet(sh.length) <= DocStore.MaxMemoLongs) {
+        if (memo.putIfAbsent(id, sh) != null) // lost the race: refund
+          memoLongs.addAndGet(-sh.length)
+      } else memoLongs.addAndGet(-sh.length)
+      sh
+    }
+  }
+
+  object DocStore {
+    /** Per-executor shingle-cache budget: 16M longs ≈ 128 MB. */
+    val MaxMemoLongs: Long = 16L << 20
   }
 
   /** One-permutation MinHash signature of a (distinct) shingle hash array:
@@ -237,6 +259,11 @@ object MinHashLSH {
     val truncAcc = stats.truncatedBuckets
     val dropAcc = stats.droppedIds
     val maxBucket = cfg.maxBucket
+    // broadcasts created below outlive their branch; destroyed after the
+    // result is materialized (they otherwise pin executor memory for the
+    // session lifetime — bench/stress loops invoke this repeatedly)
+    val bcasts = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.broadcast.Broadcast[_]]
 
     val verified =
       if (smallMode) {
@@ -252,6 +279,7 @@ object MinHashLSH {
           rows.iterator.map(r => r._1 -> r._2).toMap,
           rows.iterator.map(r => r._1 -> r._3).toMap,
           cfg.shingleK))
+        bcasts += store
         val minJ = cfg.minJaccard
         state
           .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
@@ -313,7 +341,8 @@ object MinHashLSH {
         // that, the same filter runs as an 8×-lighter pair join.
         val sampleSlots = cfg.sampleSlots
         val estThr = cfg.estThresholdFor(sampleSlots)
-        val sampleBytes = nDocs * (sampleSlots + 2) * 8
+        // +16 longs: honest Map-entry overhead (see Config.stateBytes)
+        val sampleBytes = nDocs * (sampleSlots + 16) * 8
         val sampleBcast = sampleBytes < cfg.maxBroadcastBytes
 
         val samples = sc.broadcast(
@@ -321,6 +350,7 @@ object MinHashLSH {
             state.select(col("id"), slice(col("sig"), 1, sampleSlots))
               .as[(Long, Array[Long])].collect().toMap
           else Map.empty[Long, Array[Long]])
+        bcasts += samples
 
         val pairs = state
           .select(col("id"), col("bands"), posexplode(col("bands")).as(Seq("band", "bh")))
@@ -384,6 +414,7 @@ object MinHashLSH {
     // eager materialization: small lineage-free pair table out, caches freed
     val out = verified.localCheckpoint(true)
     state.unpersist(false)
+    bcasts.foreach(_.destroy())
     if (stats.truncatedBuckets.value > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"minhash_lsh: capped ${stats.truncatedBuckets.value} hot buckets at " +

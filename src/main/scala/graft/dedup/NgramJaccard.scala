@@ -130,6 +130,9 @@ object NgramJaccard {
       maxBroadcastBytes: Long = 256L << 20
   ): DataFrame = {
     require(tau > 0 && tau <= 1, "tau in (0, 1]")
+    // n <= 0 would degenerate every doc to the single seed-constant gram
+    // hash (the n-window loop never runs) → an all-pairs jaccard=1 blowup
+    require(n >= 1, s"n must be >= 1, got $n")
     import spark.implicits._
     val sc = spark.sparkContext
     val truncAcc = sc.longAccumulator("ngram_jaccard.truncated_buckets")

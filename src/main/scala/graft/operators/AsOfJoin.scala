@@ -46,6 +46,19 @@ object AsOfJoin {
       tolerance: Option[Long] = None
   ): DataFrame = {
     require(key.nonEmpty, "as-of join needs at least one equi-key")
+    // name-collision guards: the output appends `asof_time` + payload to
+    // the left columns (a chained AsOfJoin's left already HAS asof_time —
+    // a silent duplicate column breaks every downstream select), and the
+    // union stage reserves the _t/_side/_pay/_row working names
+    val reservedOut = payload :+ "asof_time"
+    val clash = left.columns.toSet.intersect(reservedOut.toSet)
+    require(clash.isEmpty,
+      s"as-of join output would duplicate left column(s) ${clash.mkString(",")} — " +
+        "rename them (e.g. the previous join's asof_time) before chaining")
+    val working = Set("_t", "_side", "_pay", "_row", "_match")
+    val wclash = (left.columns ++ right.columns).toSet.intersect(working)
+    require(wclash.isEmpty,
+      s"as-of join reserves working column(s) ${wclash.mkString(",")}")
     val rowStruct = struct(left.columns.map(col).toIndexedSeq: _*)
     val payStruct =
       struct(col(rightTime).as("asof_time") +: payload.map(col): _*)

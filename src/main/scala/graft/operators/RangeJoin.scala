@@ -34,12 +34,31 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       ptCol: String,
-      bandWidth: Long
+      bandWidth: Long,
+      maxBandsPerInterval: Long = 1L << 20
   ): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
     def band(c: org.apache.spark.sql.Column) =
       floor(c.cast("double") / lit(bandWidth.toDouble)).cast("long")
-    val banded = intervals.withColumn(
+    // fail FAST and per-row on contract violations instead of letting one
+    // corrupt interval kill the job obscurely: lo > hi would silently
+    // produce a descending (empty-match) sequence, and an outlier span
+    // would make explode(sequence(...)) build a multi-million-element
+    // array per row (past ~2^31 Spark itself aborts). The guard lives in
+    // a FILTER so Catalyst cannot prune it as an unused projection.
+    val nBands = band(col(hiCol)) - band(col(loCol)) + lit(1L)
+    val guarded = intervals.filter(
+      when(col(loCol) > col(hiCol),
+        raise_error(concat(
+          lit(s"range_join: $loCol > $hiCol at lo="),
+          col(loCol).cast("string"), lit(" hi="), col(hiCol).cast("string"))))
+        .when(nBands > maxBandsPerInterval,
+          raise_error(concat(
+            lit("range_join: interval spans "), nBands.cast("string"),
+            lit(s" bands > maxBandsPerInterval=$maxBandsPerInterval — " +
+              "raise bandWidth or the cap"))))
+        .otherwise(lit(true)))
+    val banded = guarded.withColumn(
       "_band", explode(sequence(band(col(loCol)), band(col(hiCol)))))
     val pts = points.withColumn("_band", band(col(ptCol)))
     banded

@@ -99,11 +99,13 @@ object CheckpointedRun {
     if (!Files.exists(dir)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
         .map(_.getFileName.toString)
         .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
           s.substring(1, s.length - 5).toInt }
         .toSeq.sorted
+      finally stream.close() // leaked directory fds exhaust the driver
     }
   }
 
@@ -126,13 +128,38 @@ object CheckpointedRun {
       filterCfg: FilterConfig = FilterConfig()
   ): Seq[BucketEntry] = {
     val fp = fingerprint(cleanCfg, filterCfg, nBuckets)
-    val prior = readManifest(outPath).filter(_.fingerprint == fp)
+    val allPrior = readManifest(outPath)
+    val prior = allPrior.filter(_.fingerprint == fp)
     val committed = prior.map(_.bucket).toSet
     val pending = (0 until nBuckets).filterNot(committed)
     if (pending.isEmpty) return Nil
 
+    // config change (fingerprint mismatch): the dynamic-partition write
+    // below only replaces buckets THIS config produces — a shrink from 64
+    // to 32 buckets would otherwise leave bucket=32..63 directories
+    // readable as current output (stale data counted twice). Remove every
+    // on-disk bucket directory the old config owned before rebuilding.
+    if (allPrior.nonEmpty && prior.isEmpty) {
+      val outDir = Paths.get(outPath)
+      if (Files.exists(outDir)) {
+        import scala.jdk.CollectionConverters._
+        val stale = {
+          val s = Files.list(outDir)
+          try s.iterator().asScala
+            .filter(_.getFileName.toString.startsWith("bucket="))
+            .toList
+          finally s.close()
+        }
+        stale.foreach { d =>
+          val walk = Files.walk(d)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(Files.delete)
+          finally walk.close()
+        }
+      }
+    }
+
     val t0 = System.nanoTime()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     val result = QualityFilter(spark, turns, cleanCfg, filterCfg)
       .withColumn("bucket", pmod(xxhash64(col("conv_id")), lit(nBuckets)).cast("int"))
@@ -165,6 +192,10 @@ object CheckpointedRun {
       .observe(obs, metricCols.head, metricCols.tail: _*)
       .write
       .mode("overwrite")
+      // per-writer option, NOT spark.conf.set: a session-wide flip would
+      // silently change overwrite semantics for every later write in the
+      // caller's session
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(outPath)
 

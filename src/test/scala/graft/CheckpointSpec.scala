@@ -115,6 +115,23 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(fresh.size === nBuckets, "new fingerprint must recompute everything")
   }
 
+  test("shrinking nBuckets leaves NO stale bucket directories behind") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 80, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets = 8)
+    val rows8 = spark.read.parquet(out).count()
+
+    // re-run same path with FEWER buckets: old bucket=4..7 dirs must go,
+    // or their rows would be read twice (once stale, once re-hashed)
+    CheckpointedRun.run(spark, turns, out, nBuckets = 4)
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("bucket=")).toSeq
+    assert(dirs.sorted === (0 until 4).map(b => s"bucket=$b"),
+      s"stale bucket dirs survived: $dirs")
+    assert(spark.read.parquet(out).count() === rows8,
+      "row count must be unchanged after re-bucketing (no duplicates)")
+  }
+
   test("manifest snapshots: every commit appends an immutable version") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)

@@ -93,6 +93,39 @@ class OperatorsSpec extends AnyFunSuite with SparkTestBase {
       s"banded join must not fall back to a nested loop:\n$plan")
   }
 
+  test("RangeJoin fails fast on corrupt intervals (lo > hi, outlier span)") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "pt")
+    // lo > hi: a silent descending sequence would just drop matches
+    val inverted = Seq((1L, 100L, 10L)).toDF("iid", "lo", "hi")
+    val e1 = intercept[Exception] {
+      RangeJoin.pointsInRanges(inverted, points, "lo", "hi", "pt", 50L).collect()
+    }
+    assert(e1.getMessage.contains("range_join"), e1.getMessage)
+    // one outlier interval spanning millions of bands would build a
+    // per-row array that kills the whole job obscurely
+    val outlier = Seq((1L, 0L, 9000000000000000L)).toDF("iid", "lo", "hi")
+    val e2 = intercept[Exception] {
+      RangeJoin.pointsInRanges(outlier, points, "lo", "hi", "pt", 100L).collect()
+    }
+    assert(e2.getMessage.contains("maxBandsPerInterval"), e2.getMessage)
+  }
+
+  test("AsOfJoin rejects output-column collisions (chained joins)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 99L)).toDF("k", "t", "asof_time")
+    val right = Seq((1L, 5L, "x")).toDF("k", "rt", "pay")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.join(left, right, Seq("k"), "t", "rt", Seq("pay"))
+    }
+    assert(e.getMessage.contains("asof_time"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.dedup.NgramJaccard.similarPairs(spark,
+        Seq((1L, "a b")).toDF("id", "text"), n = 0)
+    }
+    assert(e2.getMessage.contains("n must be >= 1"), e2.getMessage)
+  }
+
   test("NgramJaccard matches the brute-force string-set pairs exactly") {
     import spark.implicits._
     val r = rng
