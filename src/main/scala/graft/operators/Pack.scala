@@ -26,20 +26,25 @@ object Pack {
   /** Adds `bin` (0-based within group) to each row.
     *
     * @param weightCol token/byte count column used to fill the budget
+    * @param tieCols appended to the ordering — (orderCol ++ tieCols) must
+    *   be UNIQUE within each group, or the running sum (and therefore bin
+    *   assignment) depends on arbitrary intra-tie row order and re-runs
+    *   are not reproducible
     */
   def contiguous(
       df: DataFrame,
       groupCols: Seq[String],
       orderCol: String,
       weightCol: String,
-      budget: Long
+      budget: Long,
+      tieCols: Seq[String] = Nil
   ): DataFrame = {
     require(budget > 0, s"budget must be > 0, got $budget")
     require(!df.columns.contains("bin") && !df.columns.contains("__cum"),
       "input already has a 'bin'/'__cum' column — rename it before packing")
     val w = Window
       .partitionBy(groupCols.map(col): _*)
-      .orderBy(col(orderCol))
+      .orderBy((orderCol +: tieCols).map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__cum", sum(col(weightCol)).over(w))
       .withColumn("bin", floor((col("__cum") - col(weightCol)) / budget))

@@ -24,10 +24,22 @@ object GraftSession {
       .config("spark.driver.host", "localhost")
 
   /** Handle to a running cancellable job group. */
-  final case class JobGroupHandle(spark: SparkSession, groupId: String) {
-    /** Cancel every job in the group; running tasks are interrupted. */
-    def cancel(reason: String = "user requested"): Unit =
-      spark.sparkContext.cancelJobGroup(groupId)
+  final class JobGroupHandle(
+      spark: SparkSession,
+      val groupId: String,
+      runner: Thread,
+      cancelledFlag: java.util.concurrent.atomic.AtomicBoolean) {
+    /** Cancel the run: flags not-yet-submitted work (cancelJobGroup only
+      * reaches ACTIVE jobs — an early cancel would otherwise be a silent
+      * no-op and the body would run to completion on the cluster's dime),
+      * cancels the group's running jobs, and interrupts the runner thread
+      * so multi-action bodies stop between jobs too. */
+    def cancel(reason: String = "user requested"): Unit = {
+      cancelledFlag.set(true)
+      spark.sparkContext.cancelJobGroup(groupId, reason)
+      runner.interrupt()
+    }
+    def cancelled: Boolean = cancelledFlag.get
     /** Job ids the group has started (poll to know the job is live). */
     def activeJobIds: Seq[Int] =
       spark.sparkContext.statusTracker.getJobIdsForGroup(groupId).toSeq
@@ -48,16 +60,32 @@ object GraftSession {
   def runCancellable[T](spark: SparkSession, name: String)(body: => T): CancellableRun[T] = {
     val groupId = s"graft-$name-${java.util.UUID.randomUUID().toString.take(8)}"
     val p = scala.concurrent.Promise[T]()
+    val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
     val t = new Thread(() => {
       spark.sparkContext.setJobGroup(groupId, s"graft cancellable: $name",
         interruptOnCancel = true)
-      try p.success(body)
-      catch { case e: Throwable => p.failure(e) }
+      try {
+        if (cancelled.get)
+          throw new java.util.concurrent.CancellationException(
+            s"group $groupId cancelled before the first job was submitted")
+        p.success(body)
+      }
+      catch {
+        case e: Throwable =>
+          // normalize post-cancel failures (thread interrupt surfaces as a
+          // bare InterruptedException) so callers always see "cancelled"
+          p.failure(
+            if (cancelled.get && !e.toString.toLowerCase.contains("cancel"))
+              new java.util.concurrent.CancellationException(
+                s"group $groupId cancelled (${e.getClass.getSimpleName})")
+            else e)
+      }
       finally spark.sparkContext.clearJobGroup()
     }, s"graft-run-$name")
     t.setDaemon(true)
+    val handle = new JobGroupHandle(spark, groupId, t, cancelled)
     t.start()
-    CancellableRun(JobGroupHandle(spark, groupId), p.future)
+    CancellableRun(handle, p.future)
   }
 
   /** Salted repartition for embarrassingly-parallel per-row stages over a
@@ -72,7 +100,13 @@ object GraftSession {
       parts: Int,
       saltFactor: Int = 8
   ): DataFrame = {
-    val salt = pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor))
+    // the salt must be DETERMINISTIC per row content: a salt derived from
+    // monotonically_increasing_id changes on stage retry (the recomputed
+    // partition re-numbers rows), re-routing rows to different reducers
+    // than the first attempt already committed — the SPARK-23207 silent
+    // duplicate/loss class. Hashing the full row is stable across retries.
+    val salt = pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*),
+      lit(saltFactor))
     df.repartition(parts, key, salt)
   }
 

@@ -45,7 +45,11 @@ object Stratified {
       case (acc, (stratum, rate)) =>
         when(strata === stratum, lit(thresholdHex(rate))).otherwise(acc)
     }
-    gate(key) < thr
+    // null-safe: md5(null) is null and a null comparison DROPS the row
+    // regardless of rate — even a rate>=1.0 "keep everything" mix would
+    // silently lose null-key rows. Treat a null key as the empty string
+    // (deterministic, oracle-replayable).
+    gate(coalesce(key, lit(""))) < thr
   }
 
   /** Filtered sample of `df`. */

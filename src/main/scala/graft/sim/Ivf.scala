@@ -50,8 +50,20 @@ object Ivf {
     require(sample.nonEmpty, "empty corpus")
     val dim = sample.head.length
 
-    // init: first k distinct sample points in hash order
-    var centroids = sample.take(k).map(_.clone())
+    // init: first k DISTINCT sample points in hash order — duplicated
+    // embeddings (common pre-dedup) in the first k slots would create
+    // identical centroids, and the strict '>' assignment starves the
+    // higher-indexed copy forever (a permanently dead list)
+    var centroids = {
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
+      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
+      val itS = sample.iterator
+      while (itS.hasNext && out.length < k) {
+        val v = itS.next()
+        if (seen.add(v.toSeq)) out += v.clone()
+      }
+      out.toArray
+    }
     var it = 0
     while (it < iterations) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))

@@ -54,9 +54,13 @@ object CharsetDetect {
       i += 1
     }
     val half = math.max(1, n / 2)
-    if (zerosOdd.toDouble / half > 0.3 && zerosEven < zerosOdd / 4)
+    // multiply, don't integer-divide: `zerosEven < zerosOdd / 4` rounds
+    // the bound to 0 for short files (a 3-char BOM-less UTF-16 doc has
+    // zerosOdd = 3, 3/4 == 0 → undetectable, and the NUL-riddled bytes
+    // would then pass strict UTF-8 validation as mojibake)
+    if (zerosOdd.toDouble / half > 0.3 && zerosEven * 4 < zerosOdd)
       return Detected("UTF-16LE", 0) // text bytes on even positions
-    if (zerosEven.toDouble / half > 0.3 && zerosOdd < zerosEven / 4)
+    if (zerosEven.toDouble / half > 0.3 && zerosOdd * 4 < zerosEven)
       return Detected("UTF-16BE", 0)
 
     // 3. strict UTF-8 validation over the whole stream

@@ -50,7 +50,9 @@ object JsonlTranscripts {
       .schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSS][XXX]")
+      // micro- AND milli-second fractions both parse (optional sections
+      // backtrack); a logger emitting .SSSSSS must not cost the whole row
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS][.SSS][XXX]")
       .json(path)
       .withColumn("__file", input_file_name())
 
@@ -76,8 +78,12 @@ object JsonlTranscripts {
         coalesce(col("role"), lit("")).as("role"),
         col("text"),
         coalesce(col("tool"), lit("")).as("tool"),
-        coalesce(col("ts"), lit(java.sql.Timestamp.valueOf("1970-01-01 00:00:00")))
-          .as("ts"))
+        // ts stays NULLABLE per the contract above: a fabricated epoch
+        // sentinel is driver-timezone-dependent (Timestamp.valueOf parses
+        // in the JVM default zone), masks "missing" from backfill, and a
+        // watermarked streaming consumer would drop sentinel rows as
+        // maximally late
+        col("ts"))
       .as[Turn]
 
     Parsed(turns, quarantine)

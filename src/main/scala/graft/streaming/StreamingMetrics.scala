@@ -41,10 +41,11 @@ object StreamingMetrics {
       filterCfg: FilterConfig = FilterConfig()
   ): DataFrame = {
     val chain = CleanPipeline.columnChain(cleanCfg)
-    val langUdf = udf((clean: String) => LangId.model.classify(clean)._1)
+    val langUdf = udf((clean: String) =>
+      if (clean == null) "und" else LangId.model.classify(clean)._1)
     val fcfg = filterCfg
     val keepUdf = udf((clean: String, role: String, lang: String) =>
-      Heuristics.ruleFailures(
+      clean != null && Heuristics.ruleFailures(
         clean, role, lang, Perplexity.model.perplexity(clean), fcfg).isEmpty)
 
     turns.toDF()

@@ -184,9 +184,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
 
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
-    // one key with 10k rows, 50 keys with 10 rows
-    val skewed = (Seq.fill(10000)("hot") ++
-      (1 to 50).flatMap(k => Seq.fill(10)(s"k$k"))).toDF("conv_id")
+    // one KEY with 10k distinct rows (a mega-conversation: same conv_id,
+    // distinct turn_idx), 50 keys with 10 rows. The salt is a determinstic
+    // content hash (stage-retry-stable — SPARK-23207 class), so the rows
+    // must differ in SOME column to spread; identical full rows co-locate,
+    // and that's the right trade for retry determinism.
+    val skewed = ((0 until 10000).map(i => ("hot", i)) ++
+      (1 to 50).flatMap(k => (0 until 10).map(i => (s"k$k", i))))
+      .toDF("conv_id", "turn_idx")
     val unsalted = GraftSession.partitionSizes(
       skewed.repartition(8, col("conv_id")))
     val salted = GraftSession.partitionSizes(

@@ -74,10 +74,14 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     val parsed = graft.sources.JsonlTranscripts.read(spark, dir.toString)
     val turns = parsed.turns.collect().map(t => (t.conv_id, t.turn_idx)).toSet
     assert(turns === Set(("c1", 0), ("c1", 1), ("c2", 0), ("c4", 0)))
-    // optional-field defaults are total (no nulls escape into Turn)
+    // optional STRING defaults are total; ts stays NULLABLE by contract
+    // (a fabricated epoch sentinel would be driver-timezone-dependent and
+    // indistinguishable from a real timestamp for backfill)
     parsed.turns.collect().foreach { t =>
-      assert(t.role != null && t.tool != null && t.ts != null)
+      assert(t.role != null && t.tool != null)
     }
+    assert(parsed.turns.filter($"ts".isNull).count() > 0,
+      "rows with missing ts must keep ts null, not a sentinel")
     val q = parsed.quarantine.select("reason").as[String].collect().sorted
     assert(q === Array("malformed_json", "missing_required_key", "missing_required_key"))
     // the raw line is preserved for malformed records
