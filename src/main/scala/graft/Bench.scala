@@ -24,7 +24,22 @@ object Bench {
   def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** JSON string escape shared with Verify: control chars included — a
+    * multi-line exception message must not break the machine-read line. */
+  private def jstr(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
   def main(args: Array[String]): Unit = {
+    // f"%.3f" formats with the DEFAULT locale — a de_DE JVM would emit
+    // comma decimals and invalid JSON
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSeq)
@@ -95,16 +110,18 @@ object Bench {
       val turns = spark.read.parquet(stage).as[graft.model.Turn]
       nTurns = turns.count()
       val t0 = System.nanoTime()
-      try force(graft.run.QualityFilter(spark, turns))
-      catch { case e: Throwable => errors("flagship") = e.toString.take(200) }
-      flagshipSec = (System.nanoTime() - t0) / 1e9
+      try { force(graft.run.QualityFilter(spark, turns)); flagshipSec = (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
+        errors("flagship") = e.toString.take(200)
+        flagshipSec = 0.0 // time-to-failure must not read as throughput
+      }
     }
     val tps = if (flagshipSec > 0) nTurns / flagshipSec else 0.0
 
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val errJson = errors
-      .map { case (k, v) => s""""$k":"${v.replace("\\", "\\\\").replace("\"", "'")}"""" }
+      .map { case (k, v) => s""""${jstr(k)}":"${jstr(v)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =

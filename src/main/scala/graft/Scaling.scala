@@ -10,12 +10,18 @@ import org.apache.spark.sql.SparkSession
   * median turns/sec of 3 runs. Staging (synthesize → parquet) is untimed —
   * at production scale the input is a table scan, not generation.
   *
-  * Usage: runMain graft.Scaling <cores> [nConvs] [repeats]
+  * Usage: runMain graft.Scaling <nExecutors> [nConvs] [repeats]
+  * (cores = nExecutors x GRAFT_CORES_PER_EXEC, default 8 per executor)
   */
 object Scaling {
 
+  /** Bump when TranscriptGen's distribution or the staging params change —
+    * the on-disk cache is keyed by this, so stale pre-change data can never
+    * be silently re-measured. */
+  private val genVersion = "g2_m20000"
+
   def stagedInput(spark: SparkSession, nConvs: Long): String = {
-    val dir = s"/tmp/graft_stage_$nConvs"
+    val dir = s"/tmp/graft_stage_${nConvs}_$genVersion"
     if (!Files.exists(Paths.get(dir, "_SUCCESS"))) {
       // 64 ~1MB files: enough splits that BOTH parallelism levels see the
       // same work units (at production scale the table has ample splits;
@@ -29,6 +35,7 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimal dots
     val nExecutors = args.headOption.getOrElse("1").toInt
     val coresPerExec = sys.env.getOrElse("GRAFT_CORES_PER_EXEC", "8").toInt
     val cores = nExecutors * coresPerExec
@@ -77,7 +84,12 @@ object Scaling {
       Thread.sleep(2000)
       dt
     }.sorted
-    val median = secs(secs.length / 2)
+    // true median: even rep counts average the middle two (the upper-middle
+    // order statistic biases high on a noisy host where interference only
+    // ever ADDS time)
+    val median =
+      if (secs.length % 2 == 1) secs(secs.length / 2)
+      else (secs(secs.length / 2 - 1) + secs(secs.length / 2)) / 2.0
     val tps = nTurns / median
     println(
       f"""{"scaling":{"cores":$cores,"n_turns":$nTurns,"secs":[${secs.map(s => f"$s%.2f").mkString(",")}],"median_sec":$median%.2f,"turns_per_sec":$tps%.1f}}""")

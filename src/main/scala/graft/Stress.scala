@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
 object Stress {
 
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT) // JSON decimal dots
     val sfLabel = args.headOption.getOrElse("sf0.5")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

@@ -41,8 +41,12 @@ object Decontaminate {
       n: Int,
       broadcastBenchmark: Boolean = true
   ): DataFrame = {
+    // stage the token array as a COLUMN first: Catalyst does not CSE
+    // through the n-gram transform() lambda, so inlining tokens() would
+    // re-split each benchmark doc once per gram (O(words^2) regex work)
     val benchGrams = benchmark
-      .select(explode(Ngrams.wordNgrams(Ngrams.tokens(col(textCol)), n)).as("gram"))
+      .withColumn("__toks", Ngrams.tokens(col(textCol)))
+      .select(explode(Ngrams.wordNgrams(col("__toks"), n)).as("gram"))
       .distinct()
     val probe = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
     // distinct (doc, gram) BEFORE the probe join so a gram repeated inside

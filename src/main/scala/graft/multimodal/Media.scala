@@ -110,11 +110,19 @@ object Media {
   def frameSampleStub(content: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
     val meta = decodeStub(content)
     if (!meta.valid || meta.nFrames <= 0 || meta.kind != "video") return Nil
-    val frameLen = math.max(1, meta.payloadBytes / meta.nFrames)
-    (0 until meta.nFrames by math.max(1, everyK)).map { f =>
+    // never trust the HEADER against the actual payload: a truncated or
+    // corrupt container (header says 1000 frames, 10 bytes follow) must
+    // not index past the buffer or materialize a giant range — clamp the
+    // frame count to what the payload can physically hold
+    val actualPayload = math.max(0, content.length - 17)
+    if (actualPayload == 0) return Nil
+    val nFrames = math.min(meta.nFrames, actualPayload)
+    val frameLen = math.max(1, actualPayload / nFrames)
+    (0 until nFrames by math.max(1, everyK)).flatMap { f =>
       val from = 17 + f * frameLen
-      java.util.Arrays.copyOfRange(content, from,
-        math.min(from + frameLen, content.length))
+      if (from >= content.length) None
+      else Some(java.util.Arrays.copyOfRange(content, from,
+        math.min(from + frameLen, content.length)))
     }
   }
 

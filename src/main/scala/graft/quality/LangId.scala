@@ -37,6 +37,7 @@ object LangId {
         while (i < scores.length) { scores(i) += row(i); i += 1 }
       })
       if (n == 0) return ("und", 0.0)
+      if (scores.length == 1) return (langs(0), scores(0) / n) // 1-lang model
       var best = 0
       var second = 1
       if (scores(1) > scores(0)) { best = 1; second = 0 }

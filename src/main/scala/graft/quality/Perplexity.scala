@@ -95,7 +95,14 @@ object Perplexity {
     sb.toString
   }
 
-  /** Interpolated Kneser-Ney training on character trigrams. */
+  /** Interpolated Kneser-Ney training on character trigrams.
+    *
+    * The DOUBLED default seed is deliberate count inflation: with the tiny
+    * embedded corpus, doubling every trigram count halves the relative
+    * Kneser-Ney discount (max(2c-D,0)/2N vs max(c-D,0)/N), softening the
+    * penalty on rare-but-real trigrams. The resulting scores are pinned by
+    * the committed golden labels — changing this requires regenerating
+    * them (tools/gen_golden.py + GoldenLabels). */
   def train(corpus: String = SeedCorpora.english + SeedCorpora.english): Model = {
     import scala.collection.mutable
     val text = normalize(corpus)

@@ -29,6 +29,12 @@ class QualityFilterSpec extends AnyFunSuite with SparkTestBase {
       assert(lang === expected, s"text=$text margin=$margin")
       assert(margin > 0.0)
     }
+
+    // a single-language model must classify, not throw on the missing
+    // runner-up slot
+    val solo = LangId.train(Seq("en" -> graft.quality.SeedCorpora.english))
+    val (l, _) = solo.classify("hello world, how are you")
+    assert(l === "en")
   }
 
   test("perplexity: clean English scores far below gibberish and non-English") {
