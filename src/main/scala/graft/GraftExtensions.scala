@@ -47,6 +47,11 @@ object GraftExtensions {
   private val cleanTextBuilder: Seq[Expression] => Expression = {
     case Seq(child) => CleanText(child, CleanConfig.transcriptDefault)
     case Seq(child, Literal(p: UTF8String, _)) => CleanText(child, profile(p.toString))
+    case other if other.size == 2 =>
+      throw new IllegalArgumentException(
+        "clean_text(text, profile): profile must be a string LITERAL " +
+          s"(got ${other(1).getClass.getSimpleName} — the config is " +
+          "compiled into the expression at plan time)")
     case other =>
       throw new IllegalArgumentException(
         s"clean_text(text[, profile]) expects 1-2 args, got ${other.size}")

@@ -56,11 +56,14 @@ object SparkEntry {
     }.as[graft.model.Turn]
   }
 
-  /** Words = \S+ runs after trim; 0 for blank. Same formula is used in the
-    * oracle SQL so the two engines agree including edge cases. */
+  /** Words = \S+ runs after trim; 0 for blank/null. Empty tokens filtered
+    * (Spark trim strips only 0x20, so tab/newline-led text would otherwise
+    * count a phantom leading token — Python split drops them). The oracle
+    * SQL applies the same list_filter so the two engines agree including
+    * edge cases. */
   private def wordsExpr(c: org.apache.spark.sql.Column) =
-    when(length(trim(c)) === 0, 0)
-      .otherwise(size(split(trim(c), "\\s+")))
+    when(c.isNull || length(trim(c)) === 0, 0)
+      .otherwise(size(filter(split(trim(c), "\\s+"), t => length(t) > 0)))
 
   // -- flagship ----------------------------------------------------------
 
@@ -727,7 +730,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val words =
-      "case when trim(text)='' then 0 else len(regexp_split_to_array(trim(text),'\\s+')) end"
+      "case when trim(text)='' then 0 else len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> x != '')) end"
     Map(
       "q01_report_agg" ->
         s"""SELECT count(*) AS total_files,
@@ -801,7 +804,7 @@ object SparkEntry {
            WHERE e.event_type = 'error'
            GROUP BY e.event_id""",
       "q41_ngram_jaccard" ->
-        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                         FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
@@ -813,7 +816,7 @@ object SparkEntry {
            SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM p WHERE jac >= 0.5""",
       "q52_dup_groups" ->
         """WITH RECURSIVE
-           tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                    FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
@@ -831,7 +834,7 @@ object SparkEntry {
            FROM reach GROUP BY id""",
       "q58_dedup_report" ->
         """WITH RECURSIVE
-           tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+           tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                    FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
@@ -872,7 +875,7 @@ object SparkEntry {
                     AS shuffle_rank
            FROM k""",
       "q56_frequent_ngrams" ->
-        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                         FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            bg AS (SELECT t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
@@ -909,7 +912,7 @@ object SparkEntry {
                     AS weight
            FROM g ORDER BY source""",
       "q43_decontaminate" ->
-        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                         FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            g AS (SELECT doc_id,
@@ -922,7 +925,7 @@ object SparkEntry {
            FROM dg JOIN bench USING (gram)
            WHERE doc_id % 50 <> 0 GROUP BY doc_id ORDER BY doc_id""",
       "q44_boilerplate_ngrams" ->
-        """WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        """WITH tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '') AS ws
                         FROM documents WHERE len(trim(text)) > 0),
            w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
            g AS (SELECT doc_id,
@@ -932,7 +935,7 @@ object SparkEntry {
            SELECT gram, count(*) AS n_occurrences FROM g WHERE l2 IS NOT NULL
            GROUP BY gram ORDER BY n_occurrences DESC, gram LIMIT 20""",
       "q45_top_terms" ->
-        """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x != '')) AS term
                          FROM documents WHERE len(trim(text)) > 0),
            tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)

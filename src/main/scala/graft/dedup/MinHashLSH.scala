@@ -281,8 +281,11 @@ object MinHashLSH {
           cfg.shingleK))
         bcasts += store
         val minJ = cfg.minJaccard
-        state
-          .select(col("id"), posexplode(col("bands")).as(Seq("band", "bh")))
+        // cap BEFORE collect_list (bounded aggregation memory; BucketCap)
+        BucketCap
+          .capped(
+            state.select(col("id"), posexplode(col("bands")).as(Seq("band", "bh"))),
+            Seq("band", "bh"), "id", maxBucket, truncAcc, dropAcc)
           .groupBy(col("band"), col("bh"))
           .agg(sort_array(collect_list(col("id"))).as("ids"))
           .filter(size(col("ids")) > 1)
@@ -291,14 +294,8 @@ object MinHashLSH {
           // AQE byte-coalescing would fold them into 1-2 tasks; spread them
           .repartition(sc.defaultParallelism)
           .as[(Int, Array[Long])]
-          .flatMap { case (band, ids0) =>
+          .flatMap { case (band, ids) =>
             val st = store.value
-            val ids =
-              if (ids0.length > maxBucket) {
-                truncAcc.add(1L)
-                dropAcc.add((ids0.length - maxBucket).toLong)
-                ids0.take(maxBucket)
-              } else ids0
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
             var i = 0
             while (i < ids.length) {
@@ -352,21 +349,18 @@ object MinHashLSH {
           else Map.empty[Long, Array[Long]])
         bcasts += samples
 
-        val pairs = state
-          .select(col("id"), col("bands"), posexplode(col("bands")).as(Seq("band", "bh")))
+        val pairs = BucketCap
+          .capped(
+            state.select(col("id"), col("bands"),
+              posexplode(col("bands")).as(Seq("band", "bh"))),
+            Seq("band", "bh"), "id", maxBucket, truncAcc, dropAcc)
           .groupBy(col("band"), col("bh"))
           .agg(sort_array(collect_list(struct(col("id"), col("bands")))).as("members"))
           .filter(size(col("members")) > 1)
           .select(col("band"), col("members"))
           .repartition(sc.defaultParallelism) // spread pair loops (see above)
           .as[(Int, Array[(Long, Array[Long])])]
-          .flatMap { case (band, members0) =>
-            val members =
-              if (members0.length > maxBucket) {
-                truncAcc.add(1L)
-                dropAcc.add((members0.length - maxBucket).toLong)
-                members0.take(maxBucket)
-              } else members0
+          .flatMap { case (band, members) =>
             val sm = samples.value
             val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
             var i = 0

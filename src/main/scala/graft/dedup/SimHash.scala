@@ -78,24 +78,26 @@ object SimHash {
     val nBlocks = cfg.blocks
     val maxH = cfg.maxHamming
     val mb = maxBucket
-    def blockOf(sig: Long, b: Int): Long = (sig >>> (b * width)) & ((1L << width) - 1)
+    // width == 64 (blocks = 1): (1L << 64) is 1 under Java's shift-mod-64,
+    // so the naive mask would be 0 and every doc would share one bucket
+    val mask = if (width >= 64) -1L else (1L << width) - 1
+    def blockOf(sig: Long, b: Int): Long = (sig >>> (b * width)) & mask
     val blockUdf = udf((sig: Long) =>
       (0 until nBlocks).map(b => (b, blockOf(sig, b))))
 
-    val pairs = sigs
+    val exploded = sigs
       .select(col("id"), col("sig"), explode(blockUdf(col("sig"))).as("blk"))
-      .groupBy(col("blk._1").as("block"), col("blk._2").as("value"))
+      .select(col("id"), col("sig"),
+        col("blk._1").as("block"), col("blk._2").as("value"))
+    // cap BEFORE collect_list (bounded aggregation memory; see BucketCap)
+    val pairs = BucketCap
+      .capped(exploded, Seq("block", "value"), "id", mb, truncAcc, dropAcc)
+      .groupBy(col("block"), col("value"))
       .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("members"))
       .filter(size(col("members")) > 1)
       .select(col("block"), col("members"))
       .as[(Int, Array[(Long, Long)])]
-      .flatMap { case (block, members0) =>
-        val members =
-          if (members0.length > mb) {
-            truncAcc.add(1L)
-            dropAcc.add((members0.length - mb).toLong)
-            members0.take(mb)
-          } else members0
+      .flatMap { case (block, members) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
         var i = 0
         while (i < members.length) {
@@ -123,7 +125,10 @@ object SimHash {
     if (truncAcc.value > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"simhash: capped ${truncAcc.value} hot buckets at $mb ids " +
-          s"(${dropAcc.value} memberships dropped) — recall not exhaustive there")
+          s"(${dropAcc.value} memberships dropped) — recall loss is NOT " +
+          "confined to capped buckets: a pair whose FIRST-agreeing block " +
+          "was capped is suppressed in later blocks too (first-collision " +
+          "dedup), so treat the counts as a lower bound on the loss")
     out
   }
 }

@@ -30,10 +30,17 @@ final class MetricsListener extends QueryExecutionListener {
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
     val metrics = qe.observedMetrics.get("graft_metrics")
     metrics.foreach { row =>
+      // sum() observes NULL over zero rows / all-null inputs — getLong
+      // would NPE and the listener bus swallows it, silently losing the
+      // snapshot for exactly the degenerate runs that need the signal
+      def lng(name: String): Long = {
+        val i = row.fieldIndex(name)
+        if (row.isNullAt(i)) 0L else row.getLong(i)
+      }
       acc.add(RunMetrics(
-        turns = row.getLong(row.fieldIndex("turns")),
-        kept = row.getLong(row.fieldIndex("kept")),
-        bytesIn = row.getLong(row.fieldIndex("bytes_in")),
+        turns = lng("turns"),
+        kept = lng("kept"),
+        bytesIn = lng("bytes_in"),
         wallNs = durationNs))
     }
   }

@@ -79,9 +79,13 @@ object QualityFilter {
       }
 
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val crossRepeat = (1 to filterCfg.crossTurnWindow)
-      .map(k => coalesce(col("clean_text") === lag(col("clean_text"), k).over(w), lit(false)))
-      .reduce(_ || _)
+    // window = 0 disables the rule (the oracle and streaming paths treat
+    // it that way; an empty reduce would throw at plan build)
+    val crossRepeat =
+      if (filterCfg.crossTurnWindow <= 0) lit(false)
+      else (1 to filterCfg.crossTurnWindow)
+        .map(k => coalesce(col("clean_text") === lag(col("clean_text"), k).over(w), lit(false)))
+        .reduce(_ || _)
 
     // Shuffle FIRST, on the raw (narrow) rows: repartition+sortWithinPartitions
     // already satisfies the window's required distribution and ordering, so

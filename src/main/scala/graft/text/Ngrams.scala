@@ -17,10 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Ngrams {
 
-  /** Whitespace tokens of trimmed text; empty array for blank/null text. */
+  /** Whitespace tokens of trimmed text; empty array for blank/null text.
+    * Empty tokens are FILTERED: Spark's `trim` strips only 0x20, so text
+    * led by a tab/newline would otherwise emit a leading "" token and
+    * corrupt every downstream gram (and a null-text when() condition is
+    * null, which previously fell through to split(null) = null instead of
+    * the documented empty array). The DuckDB oracles apply the same
+    * list_filter. */
   def tokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
+    when(text.isNull || length(trim(text)) === 0,
+      array().cast("array<string>"))
+      .otherwise(filter(split(trim(text), "\\s+"), t => length(t) > 0))
 
   /** All word n-grams of a token array as space-joined strings, in document
     * order (with duplicates — callers that need set semantics de-dup
