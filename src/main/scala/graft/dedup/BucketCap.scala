@@ -22,6 +22,10 @@ import org.apache.spark.util.LongAccumulator
   */
 object BucketCap {
 
+  /** `orderCol` must be UNIQUE within each bucket (all callers pass the
+    * doc id): ties at the cap boundary would otherwise be broken by
+    * arbitrary partition-internal order, making the kept set
+    * retry-dependent. */
   def capped(
       df: DataFrame,
       keyCols: Seq[String],

@@ -37,8 +37,13 @@ case class CleanText(child: Expression, config: CleanConfig)
   override def dataType: DataType = StringType
   override def prettyName: String = "clean_text"
 
-  @transient private lazy val kernel =
-    new StringKernel(() => CleanPipeline.kernelChain(config))
+  @transient private lazy val kernel = {
+    // bind config to a local BEFORE building the closure: capturing
+    // CleanText.this would drag the whole child expression subtree into
+    // every serialized task binary
+    val cfg = config
+    new StringKernel(() => CleanPipeline.kernelChain(cfg))
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     kernel.apply(input.asInstanceOf[UTF8String])

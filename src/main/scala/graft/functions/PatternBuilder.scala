@@ -56,7 +56,14 @@ object PatternBuilder {
   def compile(rules: Seq[Rule], wholeWords: Boolean, caseSensitive: Boolean): Pattern = {
     val flags = Pattern.DOTALL | Pattern.UNICODE_CHARACTER_CLASS |
       (if (caseSensitive) 0 else Pattern.CASE_INSENSITIVE | Pattern.UNICODE_CASE)
-    Pattern.compile(synthesize(rules, wholeWords), flags)
+    val src = synthesize(rules, wholeWords)
+    // every rule filtered out (the :1117 quirk) would leave "" or "\b()\b" —
+    // a pattern matching the EMPTY STRING at every position; applying that
+    // is never what a rule author meant, so fail loudly instead
+    require(rules.exists(r => r.start.trim.nonEmpty && r.end.trim.nonEmpty),
+      "no valid rules: every row was dropped by the non-empty start/end " +
+        "requirement (reference quirk src/CorpusAid.py:1117)")
+    Pattern.compile(src, flags)
   }
 
   /** The wizard's interactive test harness (testPattern,

@@ -75,7 +75,11 @@ object EpochShuffle {
     // second job could assign boundary rows to different partitions than
     // the ones the offsets were counted on (duplicate/missing ranks).
     // Pinning the partitioning is what any zipWithIndex-style global rank
-    // fundamentally requires.
+    // fundamentally requires. NOTE: localCheckpoint blocks live only on
+    // executors — an executor lost between the two jobs aborts the query
+    // (no recompute path). A production cluster with preemptible nodes
+    // should swap in a reliable checkpoint (sc.setCheckpointDir +
+    // .checkpoint()) at the cost of a DFS round-trip.
     val keyed = keyedStage(df, key, tie, p).localCheckpoint(true)
 
     val local = keyed.withColumn(

@@ -37,17 +37,19 @@ object Interleave {
       weights: DataFrame,
       numPartitions: Int = 0
   ): DataFrame = {
+    // the joined mixture weight rides under the reserved "_w" alias so an
+    // input that already has its own "weight" column stays unambiguous
     val perSource = Window.partitionBy(source).orderBy(tie)
     val keyed = df
       .withColumn("_rn_src", row_number().over(perSource))
       .join(
-        broadcast(weights.select(col("group").as("_grp"), col("weight"))),
+        broadcast(weights.select(col("group").as("_grp"), col("weight").as("_w"))),
         source === col("_grp"))
-      .where(col("weight") > 0)
+      .where(col("_w") > 0)
       .withColumn(
         "_ikey",
-        (col("_rn_src").cast("double") - lit(0.5)) / col("weight"))
-      .drop("_grp", "weight", "_rn_src")
+        (col("_rn_src").cast("double") - lit(0.5)) / col("_w"))
+      .drop("_grp", "_w", "_rn_src")
 
     EpochShuffle
       .rank(spark, keyed, col("_ikey"), tie, numPartitions)

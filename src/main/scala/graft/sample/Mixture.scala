@@ -27,11 +27,15 @@ object Mixture {
       mass: Column,
       alpha: Double = 0.5
   ): DataFrame = {
+    // materialized: the normalizer .head() below and the caller's action
+    // would otherwise each re-run the FULL corpus aggregation (the
+    // |groups|-row result is trivially small to pin)
     val g = df
       .groupBy(group.as("group"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum(mass).cast("bigint").as("mass"))
+      .localCheckpoint(true)
     // null on empty input (SQL sum over zero rows); 0 normalizer when
     // every mass is 0 — both would otherwise poison downstream ordering
     // (NPE / NaN weights in Interleave's sort key)

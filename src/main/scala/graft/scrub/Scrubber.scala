@@ -75,9 +75,22 @@ object Scrubber {
 
   private val rulesArray: Array[Rule] = rules.toArray
 
-  /** Which rules fired (for metrics / flags column). */
-  def firedRules(text: String): Seq[String] =
-    rules.collect { case r if r.pattern.matcher(text).find() => r.name }
+  /** Which rules fired, evaluated SEQUENTIALLY against the mutating text —
+    * the same order [[scrub]] applies them — so a rule is reported only if
+    * its replacement actually lands in the output (an email inside a URL
+    * is consumed by the url rule and must not double-report). */
+  def firedRules(text: String): Seq[String] = {
+    var t = text
+    val out = Seq.newBuilder[String]
+    rules.foreach { r =>
+      val m = r.pattern.matcher(t)
+      if (m.find()) {
+        out += r.name
+        t = m.replaceAll(r.replacement)
+      }
+    }
+    out.result()
+  }
 
   /** Column API over the native expression. */
   def apply(col: Column): Column =

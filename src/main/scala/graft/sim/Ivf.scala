@@ -41,6 +41,7 @@ object Ivf {
     import spark.implicits._
     val sample = corpus
       .select(col("vec_id"), col("embedding"))
+      .filter(col("embedding").isNotNull) // corrupt rows must not NPE Lloyd
       .as[(Long, Array[Float])]
       .map { case (id, v) => (mix64(seed ^ id), v) }
       .orderBy(col("_1"))
@@ -96,8 +97,11 @@ object Ivf {
 
   /** Assign each corpus vector to its coarse list. */
   def assign(spark: SparkSession, corpus: DataFrame, index: Index): DataFrame = {
+    // null embeddings (corrupt upstream rows) get list -1: never probed,
+    // never NPE the job
     val idxB = spark.sparkContext.broadcast(index)
-    val listUdf = udf((v: Array[Float]) => idxB.value.nearest(v, 1)(0))
+    val listUdf = udf((v: Array[Float]) =>
+      if (v == null) -1 else idxB.value.nearest(v, 1)(0))
     corpus.withColumn("list_id", listUdf(col("embedding")))
   }
 
