@@ -533,14 +533,13 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
-    // per-stratum quota curation: top-5 docs per source by size — one
-    // window shuffle on the stratum key
+    // per-stratum quota curation: top-5 docs per source by size — bounded
+    // per-partition heaps + a merge over ≤ partitions·k survivors per
+    // source (GroupedTopK), never a whole-source single-task window
     "q47_quota_topk" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      docs(s, dir)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 5)
+      graft.operators.GroupedTopK
+        .topK(docs(s, dir).select("source", "doc_id", "n_chars"),
+          groupCol = "source", scoreCol = "n_chars", tieCol = "doc_id", k = 5)
         .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
         .orderBy("source", "rk")
     }),
@@ -571,13 +570,18 @@ object SparkEntry {
     }),
 
     // quality-tier bucketing: per-source quartiles by size (quality-score
-    // proxy) — the tier label quality-weighted mixing samples from;
-    // window per source so tiering parallelism = stratum count
+    // proxy) — the tier label quality-weighted mixing samples from.
+    // Exact ntile computed arithmetically from the scalable GroupedRank
+    // (range partition + per-partition row_number + driver offsets), NOT a
+    // per-source window whose parallelism would equal the stratum count
     "q50_quality_tiers" -> ((s, dir) => {
-      val w = Window.partitionBy("source")
-        .orderBy(col("n_chars").desc, col("doc_id"))
-      docs(s, dir)
-        .withColumn("tier", ntile(4).over(w))
+      val ranked = graft.sample.GroupedRank.rank(
+        s, docs(s, dir).select("source", "doc_id", "n_chars"),
+        col("source"), Seq(col("n_chars").desc, col("doc_id")))
+      ranked
+        .withColumn("tier",
+          graft.sample.GroupedRank.ntileExpr(
+            col("group_rank"), col("group_count"), 4))
         .groupBy("source", "tier")
         .agg(count(lit(1)).as("n_docs"),
           min(col("n_chars")).as("min_chars"),
@@ -947,7 +951,7 @@ object SparkEntry {
         s"""SELECT lang, count(*) AS n_kept,
             cast(sum($words) as bigint) AS kept_words
             FROM documents
-            WHERE substr(md5(text), 1, 8) <
+            WHERE substr(md5(coalesce(text, '')), 1, 8) <
               CASE lang WHEN 'en' THEN 'g' WHEN 'de' THEN '80000000'
                         WHEN 'es' THEN '40000000' WHEN 'fr' THEN '20000000'
                         WHEN 'zh' THEN '10000000' ELSE 'g' END

@@ -49,11 +49,15 @@ object Decontaminate {
       .select(explode(Ngrams.wordNgrams(col("__toks"), n)).as("gram"))
       .distinct()
     val probe = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
-    // distinct (doc, gram) BEFORE the probe join so a gram repeated inside
-    // one document counts once; dropDuplicates is a map-side-combinable agg
+    // probe join FIRST, then distinct (doc, gram): a gram repeated inside one
+    // document must count once, but deduplicating before the join would
+    // shuffle the FULL corpus (doc, gram) set — the exact exchange the
+    // broadcast design exists to avoid. The probe side is distinct, so the
+    // join introduces no duplicates; dropDuplicates over the (tiny) survivor
+    // set gives the identical count with only survivor rows ever exchanged.
     Ngrams.explodeNgrams(corpus, idCol, textCol, n)
-      .dropDuplicates(idCol, "gram")
       .join(probe, "gram")
+      .dropDuplicates(idCol, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shared"))
   }

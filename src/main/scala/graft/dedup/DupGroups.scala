@@ -73,6 +73,7 @@ object DupGroups {
     if (sig._1 <= smallModeMaxEdges) {
       import spark.implicits._
       val arr = e.as[(Long, Long)].collect()
+      e.unpersist(false) // checkpoint blocks no longer needed once collected
       val parent = new java.util.HashMap[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -111,6 +112,11 @@ object DupGroups {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
+      // prior round's edges are dead once `large` is materialized — without
+      // an explicit unpersist a slow-converging run pins rounds×|edges| of
+      // executor storage until nondeterministic driver GC frees the handles
+      // (and evicted localCheckpoint blocks are non-recomputable)
+      e.unpersist(false)
 
       // SMALL-STAR on the (u > v)-normalized edges: m(x) = min smaller
       // neighbor; every other smaller neighbor AND x itself re-point at m.
@@ -126,6 +132,7 @@ object DupGroups {
         .where(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
+      large.unpersist(false) // consumed by the small-star materialization
 
       val next = edgeSignature(e)
       converged = next == sig

@@ -160,9 +160,15 @@ object NgramJaccard {
       (size(col("grams")) - ceil(size(col("grams")) * tau) + 1).cast("int"))
 
     val mb = maxBucket
+    // tracked so the (up to maxBroadcastBytes) gram store can be destroyed
+    // once the result is materialized — same lifecycle as MinHashLSH's
+    // `bcasts`; without it repeated invocations pin executor memory until
+    // driver GC happens to collect the handle
+    var storeHandle: Option[org.apache.spark.broadcast.Broadcast[_]] = None
     val out = (if (smallMode) {
       val store = sc.broadcast(
         sets.as[(Long, Array[Long])].collect().toMap)
+      storeHandle = Some(store)
       sets
         .select(col("id"), explode(prefix).as("gram"))
         .groupBy("gram")
@@ -238,6 +244,7 @@ object NgramJaccard {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }).localCheckpoint(true)
     sets.unpersist(false)
+    storeHandle.foreach(_.destroy())
     if (truncAcc.value > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"ngram_jaccard: capped ${truncAcc.value} hot gram buckets at $mb ids " +

@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * of the output, and the schedule is a pure function of (weights, ids):
   * re-runs are byte-identical, unlike an RNG-drawn mixture.
   *
-  * Scale shape: one window partitioned BY SOURCE (each source sorts its
-  * own slice — never a single global task), a broadcast join against the
-  * |sources|-row weight table, then the scalable global-rank machinery of
-  * [[EpochShuffle.rank]] (range partition + per-partition row_number +
-  * driver offsets) over the interleave key.
+  * Scale shape: the per-source sequence number comes from
+  * [[GroupedRank.rank]] (range partition on (source, tie) +
+  * per-partition row_number + driver offsets — NEVER a single task per
+  * source; with ~16 sources a plain grouped window would sort corpus/16
+  * rows in one task), then a broadcast join against the |sources|-row
+  * weight table, then the scalable global-rank machinery of
+  * [[EpochShuffle.rank]] over the interleave key.
   */
 object Interleave {
 
@@ -39,9 +41,10 @@ object Interleave {
   ): DataFrame = {
     // the joined mixture weight rides under the reserved "_w" alias so an
     // input that already has its own "weight" column stays unambiguous
-    val perSource = Window.partitionBy(source).orderBy(tie)
-    val keyed = df
-      .withColumn("_rn_src", row_number().over(perSource))
+    val keyed = GroupedRank
+      .rank(spark, df, source, Seq(tie), numPartitions)
+      .withColumnRenamed("group_rank", "_rn_src")
+      .drop("group_count")
       .join(
         broadcast(weights.select(col("group").as("_grp"), col("weight").as("_w"))),
         source === col("_grp"))

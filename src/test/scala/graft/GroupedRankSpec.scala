@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GroupedTopK
+import graft.sample.GroupedRank
+
+/** Equivalence proofs for the scalable per-group sequence machinery against
+  * the single-task window forms they replace (grouped row_number, ntile,
+  * grouped top-k). */
+class GroupedRankSpec extends AnyFunSuite with SparkTestBase {
+
+  // skewed groups (one dominant), plus a null-group row set and duplicate
+  // scores to exercise tie-breaking
+  private def mkDocs = {
+    import spark.implicits._
+    val r = new graft.gen.TranscriptGen.Rng(7171L)
+    (0 until 2000).map { i =>
+      val src =
+        if (i % 11 == 0) null
+        else if (r.nextInt(10) < 6) "web"
+        else s"s${r.nextInt(5)}"
+      (i.toLong, src, r.nextInt(50).toLong)
+    }.toDF("id", "source", "score").repartition(7)
+  }
+
+  test("GroupedRank.rank == grouped window row_number (asc and desc)") {
+    import spark.implicits._
+    val docs = mkDocs
+    for (ord <- Seq(Seq(col("score"), col("id")), Seq(col("score").desc, col("id")))) {
+      val got = GroupedRank.rank(spark, docs, col("source"), ord)
+        .select(col("id"), col("group_rank"), col("group_count"))
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      val w = Window.partitionBy("source").orderBy(ord: _*)
+      val cw = Window.partitionBy("source")
+      val want = docs
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(cw))
+        .select(col("id"), col("rn"), col("cnt"))
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+      assert(got === want)
+    }
+  }
+
+  test("GroupedRank.ntileExpr == ntile(n) for every group size 1..13, n in {1,2,4,5}") {
+    import spark.implicits._
+    // one group per size so every (N mod n) residue class is covered
+    val rows = (1 to 13).flatMap(sz => (1 to sz).map(i => (s"g$sz", sz * 100 + i)))
+    val df = rows.toDF("g", "id").repartition(5)
+    for (n <- Seq(1, 2, 4, 5)) {
+      val got = GroupedRank.rank(spark, df, col("g"), Seq(col("id")))
+        .withColumn("tier", GroupedRank.ntileExpr(col("group_rank"), col("group_count"), n))
+        .select(col("id"), col("tier")).as[(Int, Int)].collect().toMap
+      val want = df
+        .withColumn("tier", ntile(n).over(Window.partitionBy("g").orderBy("id")))
+        .select(col("id"), col("tier")).as[(Int, Int)].collect().toMap
+      assert(got === want, s"n=$n")
+    }
+  }
+
+  test("GroupedTopK == grouped window top-k, including k > group size") {
+    import spark.implicits._
+    val docs = mkDocs.filter(col("source").isNotNull)
+    for (k <- Seq(1, 5, 5000)) {
+      val got = GroupedTopK
+        .topK(docs, groupCol = "source", scoreCol = "score", tieCol = "id", k = k)
+        .select(col("source"), col("rk"), col("id"))
+        .as[(String, Int, Long)].collect().toSet
+      val w = Window.partitionBy("source").orderBy(col("score").desc, col("id"))
+      val want = docs
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("rk"), col("id"))
+        .as[(String, Int, Long)].collect().toSet
+      assert(got === want, s"k=$k")
+    }
+  }
+
+  test("GroupedTopK ascending mode returns the k smallest") {
+    import spark.implicits._
+    val docs = mkDocs.filter(col("source").isNotNull)
+    val got = GroupedTopK
+      .topK(docs, "source", "score", "id", k = 3, descending = false)
+      .select(col("source"), col("rk"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val w = Window.partitionBy("source").orderBy(col("score"), col("id"))
+    val want = docs
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("source"), col("rk"), col("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === want)
+  }
+}

@@ -153,6 +153,56 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"global single-partition window detected:\n$plan")
   }
 
+  test("grouped rank: range exchange + pid-windows, never a whole-group window") {
+    import spark.implicits._
+    val df = (0L until 5000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    // the range exchange lives in the keyed stage (hidden behind the
+    // localCheckpoint in rank(), same as EpochShuffle)
+    val keyedPlan = executedPlan(graft.sample.GroupedRank.keyedStage(
+      df, col("source"), Seq(col("doc_id")), 8))
+    assert(keyedPlan.contains("rangepartitioning"),
+      s"expected a range exchange:\n$keyedPlan")
+    val ranked = graft.sample.GroupedRank.rank(
+      spark, df, col("source"), Seq(col("doc_id")), numPartitions = 8)
+    val plan = executedPlan(ranked)
+    // every window must include the partition id in its partition spec — a
+    // window keyed on the bare group column sorts a whole source in ONE
+    // task at 100 TB (VERDICT r2 finding #1)
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("_gpid")),
+      s"whole-group window detected:\n${windows.mkString("\n")}")
+  }
+
+  test("grouped top-k: map-side heaps bound the shuffle to survivor rows") {
+    import spark.implicits._
+    // ~20k rows with a fat payload; survivors are |sources|·k·|partitions|
+    val pad = "x" * 200
+    val docs = (0L until 20000L)
+      .map(i => (i, s"s${i % 4}", (i * 2654435761L % 1000L), pad))
+      .toDF("doc_id", "source", "n_chars", "text")
+      .repartition(8).localCheckpoint(true)
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val r = graft.operators.GroupedTopK
+          .topK(docs, "source", "n_chars", "doc_id", k = 5).collect()
+        Thread.sleep(1000) // let straggler task-end events drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(out.length === 20)
+    // corpus is ~4.5 MB; only the ≤ 4·5·8 survivor rows may cross the wire
+    assert(shuffleWrite.get() < 128 * 1024,
+      s"grouped top-k shuffled ${shuffleWrite.get()} bytes — the corpus " +
+        "must be reduced map-side before any exchange")
+  }
+
   test("threshold pair scan keeps embeddings out of every exchange") {
     import spark.implicits._
     // runtime metrics, not plan-parsed: the per-chunk scans live behind
