@@ -79,9 +79,11 @@ object Quantize {
     * [[cosineErrorBound]] of that). Queries whose margin is too thin fall
     * back to the exact float scan — so the result ALWAYS equals
     * [[Ann.bruteForceTopK]], and the full-corpus float read happens only
-    * for the (rare) uncertifiable queries. The shortlist id set is
-    * |Q|·k·oversample (driver-trivial); the float rescore prunes to it
-    * via an IN filter pushed to the column source. */
+    * for the (rare) uncertifiable queries. The float rescore prunes the
+    * corpus to the |Q|·k·oversample shortlist via [[idFilter]]: a pushable
+    * IN filter while the set is small, a broadcast semi-join beyond that
+    * (a 10k-query batch would otherwise embed hundreds of thousands of
+    * literals in the plan — driver bloat with no pushdown benefit). */
   def rerankTopK(
       spark: SparkSession,
       corpus: DataFrame, // columns: vec_id, embedding (array<float>)
@@ -99,7 +101,7 @@ object Quantize {
     val ids = short.map(_.getLong(1)).distinct.toSeq
 
     val rescored = Ann.bruteForceTopK(
-      spark, corpus.filter(col("vec_id").isin(ids: _*)), queries, k)
+      spark, idFilter(spark, corpus, ids), queries, k)
       .localCheckpoint(true) // read twice: certificate + result
     val kth = rescored.collect().groupBy(_.getLong(0))
       .map { case (q, rs) => (q, rs.map(_.getDouble(2)).min) }
@@ -121,6 +123,23 @@ object Quantize {
       okPart.unionByName(fixPart)
     }
   }
+
+  /** Shortlist restriction of the corpus. Small sets stay a literal IN
+    * predicate (pushed to the parquet scan); large sets become a broadcast
+    * LEFT SEMI join — O(1) plan size and a hash probe per row instead of a
+    * giant In/InSet literal tree. */
+  private[graft] def idFilter(
+      spark: SparkSession,
+      corpus: DataFrame,
+      ids: Seq[Long],
+      maxInLiterals: Int = 1000
+  ): DataFrame =
+    if (ids.size <= maxInLiterals) corpus.filter(col("vec_id").isin(ids: _*))
+    else {
+      import spark.implicits._
+      corpus.join(
+        broadcast(ids.toDF("vec_id")), Seq("vec_id"), "left_semi")
+    }
 
   /** Exact top-k under int8 cosine: same broadcast-queries + per-partition
     * bounded-heap shape as [[Ann.bruteForceTopK]] — O(corpus) scan at a

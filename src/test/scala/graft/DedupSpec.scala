@@ -196,6 +196,34 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(tRerank === tExact, "fallback path must preserve exactness")
   }
 
+  test("rerank shortlist: large id sets broadcast-semi-join, small sets stay IN") {
+    import spark.implicits._
+    import graft.sim.Quantize
+    val df = clusteredVectors().toSeq.toDF("vec_id", "embedding")
+
+    // large shortlist (a 10k-query batch shape): must plan a broadcast
+    // LEFT SEMI hash join, never a multi-thousand-literal In predicate
+    val bigIds = (0L until 5000L).toSeq
+    val big = Quantize.idFilter(spark, df, bigIds)
+    big.collect()
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(bigPlan.contains("BroadcastHashJoin") && bigPlan.contains("LeftSemi"),
+      s"expected broadcast semi-join:\n$bigPlan")
+    assert(!bigPlan.contains(" IN ") && !bigPlan.contains("InSet"),
+      s"literal IN over a large shortlist:\n$bigPlan")
+
+    // small shortlist keeps the pushable IN filter (no join machinery)
+    val small = Quantize.idFilter(spark, df, Seq(1L, 2L, 3L))
+    small.collect()
+    val smallPlan = small.queryExecution.executedPlan.toString
+    assert(!smallPlan.contains("BroadcastHashJoin"),
+      s"small shortlist should not join:\n$smallPlan")
+
+    // both restrict to exactly the requested ids
+    assert(small.select("vec_id").as[Long].collect().toSet === Set(1L, 2L, 3L))
+    assert(big.count() === df.filter(col("vec_id") < 5000).count())
+  }
+
   test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {
     import spark.implicits._
     val vecs = clusteredVectors()
