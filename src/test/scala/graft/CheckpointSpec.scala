@@ -153,6 +153,62 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
       === (0 until nBuckets))
   }
 
+  test("1024-bucket layout: lineage CollectMetrics stays O(1) in bucket count") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 30, megaTurns = 0)
+
+    val metricsLines = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.executedPlan.toString.linesIterator
+          .filter(_.contains("CollectMetrics"))
+          .foreach(metricsLines.add)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(ql)
+    val fresh =
+      try {
+        val r = CheckpointedRun.run(spark, turns, out, nBuckets = 1024)
+        Thread.sleep(1000) // listener events are async — let them drain
+        r
+      } finally spark.listenerManager.unregister(ql)
+
+    assert(fresh.size === 1024)
+    assert(fresh.map(_.rows).sum === turns.count())
+    assert(fresh.map(_.kept).sum ===
+      QualityFilter(spark, turns).filter(col("keep")).count())
+    import scala.jdk.CollectionConverters._
+    val cm = metricsLines.asScala.filter(_.contains("rows_map"))
+    assert(cm.nonEmpty, s"no lineage CollectMetrics captured: $metricsLines")
+    // two map-typed aggregates regardless of bucket count — the old
+    // per-bucket formulation put 2048 count(when) expressions on this line
+    cm.foreach { line =>
+      assert(line.length < 2000, s"CollectMetrics grew with buckets:\n$line")
+      assert(line.contains("kept_map"))
+    }
+  }
+
+  test("manifest + output round-trip through an explicit file:// URI (Hadoop FS)") {
+    val rawDir = freshDir()
+    val out = "file://" + rawDir
+    val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)
+    val fresh = CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(fresh.size === nBuckets)
+    // manifest written through the FileSystem API lands on the local disk
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(rawDir, "_graft_manifest.json")))
+    assert(CheckpointedRun.readManifest(out).size === nBuckets)
+    assert(CheckpointedRun.snapshots(out) === Seq(1))
+    // resume through the URI: a lost bucket is recomputed, others untouched
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(_.bucket == 1))
+    val again = CheckpointedRun.run(spark, turns, out, nBuckets)
+    assert(again.map(_.bucket) === Seq(1))
+    assert(spark.read.parquet(out).count() === turns.count())
+  }
+
   test("lineage metrics table is queryable") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 50, megaTurns = 0)
