@@ -713,6 +713,63 @@ object SparkEntry {
         .orderBy("group_size")
     }),
 
+    // CAPSTONE: the full training-data composition as ONE oracle-checked
+    // query — exact dedup → near-dup group dedup → benchmark
+    // decontamination → mixture weights → weighted interleave → sequence
+    // packing — returning the pack manifest (per source/bin: docs, tokens,
+    // first interleave rank) plus the per-stage survivor counts. Every
+    // stage is the same operator the standalone queries use (q06/q52/q43/
+    // q55/q57/q48), so the oracle proves the COMPOSITION, not just parts.
+    "q59_capstone_manifest" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      // stage 1: exact dedup — first occurrence per distinct text
+      val minIds = d0
+        .groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val exact = d0.join(minIds, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // read by 4 downstream stages
+      // stage 2: near-dup pair graph → connected groups → representatives
+      val pairs = graft.dedup.NgramJaccard
+        .similarPairs(s, exact.select(col("doc_id").as("id"), col("text")),
+          n = 2, tau = 0.5)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val reps = graft.dedup.DupGroups
+        .components(s, pairs, exact.select(col("doc_id").as("id")))
+        .filter(col("keep")).select(col("id").as("doc_id"))
+      val dd = exact.join(reps, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true) // read by decontaminate + anti-join
+      // stage 3: decontamination — "benchmark" = the deterministic
+      // doc_id % 41 == 0 slice of the survivors; any doc sharing a word
+      // 3-gram with it (the slice itself included) is removed
+      val bench = dd.filter(pmod(col("doc_id"), lit(41)) === 0).select("text")
+      val dirty = graft.dedup.Decontaminate
+        .contaminated(s, dd, bench, "doc_id", "text", n = 3)
+        .select(col("doc_id"))
+      val cl = dd.join(dirty, Seq("doc_id"), "left_anti")
+      // stages 4-6: mixture → interleave → pack
+      val weights = graft.sample.Mixture
+        .weights(cl, col("source"), col("n_chars"), alpha = 0.5)
+      val inter = graft.sample.Interleave
+        .byWeight(s, cl, col("source"), col("doc_id"), weights)
+        .withColumn("n_tokens", wordsExpr(col("text")))
+      val packed = graft.operators.Pack.contiguous(
+        inter, Seq("source"), "interleave_rank", "n_tokens", budget = 256L)
+      val manifest = packed
+        .groupBy("source", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          min(col("interleave_rank")).as("min_rank"))
+      // stage counts ride as constant columns (1-row broadcast cross joins)
+      manifest
+        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("n_dedup"))))
+        .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_clean"))))
+        .orderBy("source", "bin")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
@@ -872,6 +929,61 @@ object SparkEntry {
            SELECT group_size, cast(count(*) AS BIGINT) AS n_groups,
                   cast(sum(group_size) - count(*) AS BIGINT) AS n_removable
            FROM gs GROUP BY group_size ORDER BY group_size""",
+      "q59_capstone_manifest" ->
+        s"""WITH RECURSIVE
+           ex AS (SELECT * FROM documents
+                  WHERE doc_id IN (SELECT min(doc_id) FROM documents
+                                   GROUP BY md5(coalesce(text, '')))),
+           tok AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+                   FROM ex WHERE len(trim(text)) > 0),
+           w AS (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i FROM tok),
+           bg AS (SELECT doc_id, t || ' ' || lead(t) OVER (PARTITION BY doc_id ORDER BY i) AS b FROM w),
+           sgs AS (SELECT doc_id, list(DISTINCT b) AS bgs FROM bg WHERE b IS NOT NULL GROUP BY doc_id),
+           p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                 FROM sgs a JOIN sgs b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.bgs, b.bgs))::DOUBLE /
+                       (len(a.bgs) + len(b.bgs) - len(list_intersect(a.bgs, b.bgs))) >= 0.5),
+           e AS (SELECT doc_a AS u, doc_b AS v FROM p UNION SELECT doc_b, doc_a FROM p),
+           reach(id, r) AS (
+             SELECT doc_id, doc_id FROM ex
+             UNION
+             SELECT reach.id, e.v FROM reach JOIN e ON e.u = reach.r),
+           comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+           dd AS (SELECT ex.* FROM ex JOIN comp
+                  ON ex.doc_id = comp.id AND comp.group_id = ex.doc_id),
+           g3 AS (SELECT doc_id,
+                    concat_ws(' ', t, lead(t,1) OVER win, lead(t,2) OVER win) AS gram,
+                    lead(t,2) OVER win AS l2
+                  FROM (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i
+                        FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
+                              FROM dd WHERE len(trim(text)) > 0))
+                  WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+           dg AS (SELECT DISTINCT doc_id, gram FROM g3 WHERE l2 IS NOT NULL),
+           bgrams AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 41 = 0),
+           dirty AS (SELECT DISTINCT doc_id FROM dg JOIN bgrams USING (gram)),
+           cl AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+           gm AS (SELECT source, cast(sum(n_chars) AS BIGINT) AS mass FROM cl GROUP BY source),
+           wt AS (SELECT source, round(pow(mass::DOUBLE, 0.5) /
+                    (SELECT sum(pow(mass::DOUBLE, 0.5)) FROM gm), 6) AS weight FROM gm),
+           r2 AS (SELECT cl.doc_id, cl.source, cl.text,
+                    row_number() OVER (PARTITION BY cl.source ORDER BY cl.doc_id) AS rn,
+                    wt.weight
+                  FROM cl JOIN wt ON cl.source = wt.source WHERE wt.weight > 0),
+           ir AS (SELECT doc_id, source, text,
+                    row_number() OVER (ORDER BY (rn - 0.5) / weight, doc_id) AS interleave_rank
+                  FROM r2),
+           tk AS (SELECT doc_id, source, interleave_rank, $words AS n_tokens FROM ir),
+           cum AS (SELECT source, interleave_rank, n_tokens,
+                     sum(n_tokens) OVER (PARTITION BY source ORDER BY interleave_rank
+                       ROWS UNBOUNDED PRECEDING) AS cum FROM tk),
+           m AS (SELECT source, cast(floor((cum - n_tokens) / 256.0) AS BIGINT) AS bin,
+                    count(*) AS n_docs, cast(sum(n_tokens) AS BIGINT) AS sum_tokens,
+                    min(interleave_rank) AS min_rank
+                 FROM cum GROUP BY source, bin)
+           SELECT m.*, (SELECT count(*) FROM ex) AS n_exact,
+                  (SELECT count(*) FROM dd) AS n_dedup,
+                  (SELECT count(*) FROM cl) AS n_clean
+           FROM m ORDER BY source, bin""",
       "q53_embed_dedup" ->
         """WITH RECURSIVE
            p AS (SELECT a.vec_id AS ia, b.vec_id AS ib
