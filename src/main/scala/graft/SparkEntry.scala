@@ -929,6 +929,33 @@ object SparkEntry {
            SELECT group_size, cast(count(*) AS BIGINT) AS n_groups,
                   cast(sum(group_size) - count(*) AS BIGINT) AS n_removable
            FROM gs GROUP BY group_size ORDER BY group_size""",
+      // golden-pinned oracles: the right side is a COMMITTED fixture
+      // generated by independent (non-pipeline) tooling — the per-doc
+      // UAX#29 counts from tools/gen_uax29_golden.py and the sequential
+      // spec evaluator's reason histogram from GoldenReasons. DuckDB reads
+      // the committed file; a pipeline drift fails the compare.
+      "q15_keep_drop" ->
+        """SELECT conv_id, turn_idx, role, lang, keep, scrubbed_text
+           FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
+           ORDER BY conv_id, turn_idx""",
+      "q30_full_chain" ->
+        """SELECT conv_id, turn_idx, clean_text_allon AS cleaned
+           FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
+           ORDER BY conv_id, turn_idx""",
+      "q24_winnow_fingerprints" ->
+        """SELECT doc_id, n_fingerprints, min_fp
+           FROM read_parquet('/root/repo/src/test/resources/golden/winnow_sf001.parquet')
+           ORDER BY doc_id""",
+      "q26_uax29_words" ->
+        """SELECT doc_id, n_words_uax29
+           FROM read_parquet('/root/repo/src/test/resources/golden/uax29_sf001.parquet')
+           ORDER BY doc_id""",
+      "q33_drop_reasons" ->
+        """SELECT reason, count
+           FROM read_csv('/root/repo/src/test/resources/golden/drop_reasons_sf001.tsv',
+                         header = true, delim = '\t',
+                         columns = {'reason': 'VARCHAR', 'count': 'BIGINT'})
+           ORDER BY reason""",
       "q59_capstone_manifest" ->
         s"""WITH RECURSIVE
            ex AS (SELECT * FROM documents

@@ -211,11 +211,28 @@ object QualityFilter {
     * scrubbed text, BASELINE.md targets). Uses the same pure kernels but an
     * explicit prev-K buffer instead of a Window, so it exercises none of
     * Spark's distribution machinery. */
-  def sequentialOracle(
+  /** One sequentially-evaluated turn: every field the distributed pipeline
+    * emits, produced by the plain single-threaded spec loop. */
+  final case class SeqEval(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      clean_text: String,
+      lang: String,
+      keep: Boolean,
+      drop_reasons: List[String],
+      scrubbed_text: String
+  )
+
+  /** The full sequential spec evaluator — the independent (non-Spark)
+    * reference the golden pins and F1 tests compare the distributed
+    * pipeline against. One loop per conversation in turn order, exactly
+    * like the reference's sequential file pass. */
+  def sequentialFull(
       turns: Seq[Turn],
       cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
       filterCfg: FilterConfig = FilterConfig()
-  ): Seq[(String, Int, Boolean, String)] = {
+  ): Seq[SeqEval] = {
     val chain = graft.pipeline.CleanPipeline.kernelChain(cleanCfg)
     turns
       .groupBy(_.conv_id)
@@ -231,9 +248,29 @@ object QualityFilter {
             Heuristics.ruleFailures(cleanText, t.role, lang, ppl, filterCfg)
           val crossRep = prevs.contains(cleanText)
           prevs = (cleanText :: prevs).take(filterCfg.crossTurnWindow)
-          val keep = fails.isEmpty && !crossRep
-          (convId, t.turn_idx, keep, Scrubber.scrub(cleanText))
+          val reasons =
+            if (crossRep) fails :+ "cross_turn_repeat" else fails
+          SeqEval(convId, t.turn_idx, t.role, cleanText, lang,
+            reasons.isEmpty, reasons, Scrubber.scrub(cleanText))
         }
       }
   }
+
+  def sequentialOracle(
+      turns: Seq[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Seq[(String, Int, Boolean, String)] =
+    sequentialFull(turns, cleanCfg, filterCfg)
+      .map(e => (e.conv_id, e.turn_idx, e.keep, e.scrubbed_text))
+
+  /** Reason lists only (the committed q33 histogram pin — `GoldenReasons`
+    * aggregates THIS evaluator's output, never the distributed pipeline's). */
+  def sequentialReasons(
+      turns: Seq[Turn],
+      cleanCfg: CleanConfig = CleanConfig.transcriptDefault,
+      filterCfg: FilterConfig = FilterConfig()
+  ): Seq[(String, Int, List[String])] =
+    sequentialFull(turns, cleanCfg, filterCfg)
+      .map(e => (e.conv_id, e.turn_idx, e.drop_reasons))
 }
