@@ -584,6 +584,22 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // incremental dedup, BLOOM-PREFILTERED scale path: same contract as
+    // q49 (exact — Bloom only prefilters; no false negatives, false
+    // positives removed by the exact verify join) but the exchange carries
+    // only possible-duplicate batch rows, never the existing corpus
+    "q60_bloom_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = xxhash64(coalesce(col("text"), lit("")))
+      val existing = d.filter(col("doc_id") < 250).select(h.as("h"))
+      val batch = d.filter(col("doc_id") >= 250).withColumn("h", h)
+      graft.dedup.Incremental
+        .newRows(s, batch, existing, "h", expectedItems = 250, fpp = 0.05)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"), min(col("doc_id")).as("first_id"))
+        .orderBy("lang")
+    }),
+
     // quality-tier bucketing: per-source quartiles by size (quality-score
     // proxy) — the tier label quality-weighted mixing samples from.
     // Exact ntile computed arithmetically from the scalable GroupedRank
@@ -1126,6 +1142,14 @@ object SparkEntry {
                   count(*) AS n_docs, cast(sum(n_tokens) as bigint) AS sum_tokens
            FROM c GROUP BY source, bin ORDER BY source, bin""",
       "q49_incremental_dedup" ->
+        """SELECT lang, count(*) AS n_new, min(doc_id) AS first_id
+           FROM documents d
+           WHERE doc_id >= 250
+             AND NOT EXISTS (SELECT 1 FROM documents e
+                             WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
+           GROUP BY lang ORDER BY lang""",
+      // same relation as q49: the Bloom stage is exact by construction
+      "q60_bloom_incremental" ->
         """SELECT lang, count(*) AS n_new, min(doc_id) AS first_id
            FROM documents d
            WHERE doc_id >= 250

@@ -224,6 +224,35 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(big.count() === df.filter(col("vec_id") < 5000).count())
   }
 
+  test("Bloom-prefiltered incremental dedup == plain anti-join, FP path exercised") {
+    import spark.implicits._
+    import graft.dedup.Incremental
+    // 4000 existing, 3000-row batch: 1000 true dups + 2000 new; an
+    // undersized filter (expectedItems=50) saturates fpp so MANY new rows
+    // take the exact-verify path — the equality below proves FPs never leak
+    val existing = (0L until 4000L).map(i => ("e", i)).toDF("tag", "h0")
+      .select(xxhash64(concat(col("tag"), col("h0"))).as("h"))
+    val batch = ((0L until 1000L).map(i => ("e", i, i)) ++
+      (0L until 2000L).map(i => ("n", i, 10000L + i)))
+      .toDF("tag", "h0", "id")
+      .select(col("id"), xxhash64(concat(col("tag"), col("h0"))).as("h"))
+
+    val exact = batch.join(existing, Seq("h"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    val viaBloom = Incremental
+      .newRows(spark, batch, existing, "h", expectedItems = 50, fpp = 0.03)
+      .select("id").as[Long].collect().toSet
+    assert(viaBloom === exact)
+    assert(exact.size === 2000)
+
+    // right-sized filter: only ~dups+fpp·batch rows may reach the verify
+    // join — count them through the possible-dup predicate the operator uses
+    val bf = existing.stat.bloomFilter("h", 4000L, 0.01)
+    val nPossible = batch.collect().count(r => bf.mightContainLong(r.getLong(1)))
+    assert(nPossible < 1000 + 200,
+      s"$nPossible possible-dups for 1000 true dups at fpp=0.01")
+  }
+
   test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {
     import spark.implicits._
     val vecs = clusteredVectors()
