@@ -164,6 +164,65 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
     spark.catalog.dropTempView("tv")
   }
 
+  test("streaming sessionization == batch gap-split, exactly-once, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessEvent
+
+    def ev(u: Long, ts: String, id: Long) =
+      SessEvent(u, Timestamp.valueOf(ts), id)
+    // 3 users; gaps straddle the 30-min session gap; arrival is shuffled
+    // within the 10-min lateness and split across batches
+    val all = Seq(
+      ev(1, "2026-01-01 10:00:00", 1), ev(1, "2026-01-01 10:10:00", 2),
+      ev(1, "2026-01-01 11:00:00", 3), // > 30 min after 10:10 → session 2
+      ev(1, "2026-01-01 11:05:00", 4),
+      ev(2, "2026-01-01 10:02:00", 5),
+      ev(2, "2026-01-01 10:31:00", 6), // 29 min gap → same session
+      ev(3, "2026-01-01 12:00:00", 7))
+
+    val input = MemoryStream[SessEvent]
+    val query = StreamingSessionize(input.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(all(0), all(4), all(1)))
+      query.processAllAvailable()
+      input.addData(Seq(all(5), all(2), all(3), all(6)))
+      query.processAllAvailable()
+      // push the watermark far past every open session + gap
+      input.addData(Seq(ev(99, "2026-01-01 20:00:00", 999)))
+      query.processAllAvailable()
+      input.addData(Seq(ev(99, "2026-01-01 23:00:00", 1000)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("sessions")
+      .filter(col("user_id") < 90)
+      .select("user_id", "session_id", "n_events", "dur_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // driver-side batch oracle: sort per user, split on gap > 30 min
+    val gapUs = 30L * 60 * 1000000
+    val want = all.groupBy(_.user_id).flatMap { case (u, es) =>
+      val ts = es.map(e => e.ts.getTime * 1000L).sorted
+      val sessions = ts.foldLeft(List.empty[List[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.head.head <= gapUs =>
+          (t :: acc.head) :: acc.tail
+        case (acc, t) => List(t) :: acc
+      }.reverse
+      sessions.zipWithIndex.map { case (s, i) =>
+        (u, (i + 1).toLong, s.size.toLong, s.max - s.min)
+      }
+    }.toSet
+    assert(got === want)
+
+    // exactly-once: no session row appears twice
+    val rows = spark.table("sessions").filter(col("user_id") < 90).collect()
+    assert(rows.length === got.size)
+  }
+
   test("optimizer rule: identity-config CleanText elides at plan time") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
