@@ -50,6 +50,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').map(_.trim).toSeq)
     def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    // parse BEFORE the minutes-long warmup so a malformed value fails fast
+    // (and tolerate shell-script stray whitespace)
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
+      .map(_.trim).filter(_.nonEmpty).fold(1) { v =>
+        v.toIntOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_REPS must be an integer, got '$v'"))
+      })
 
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -91,7 +99,6 @@ object Bench {
       catch { case _: Throwable => }
     }
 
-    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt)
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -779,11 +779,19 @@ object SparkEntry {
           sum(col("n_tokens")).as("sum_tokens"),
           min(col("interleave_rank")).as("min_rank"))
       // stage counts ride as constant columns (1-row broadcast cross joins)
-      manifest
+      val out = manifest
         .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
         .crossJoin(broadcast(dd.agg(count(lit(1)).as("n_dedup"))))
         .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_clean"))))
         .orderBy("source", "bin")
+        // materialize the (tiny) manifest so the two intermediate
+        // checkpoints can be released — without this, every invocation
+        // pins two survivor-corpus block sets until driver GC (the leak
+        // class fixed in DupGroups/NgramJaccard)
+        .localCheckpoint(true)
+      exact.unpersist(false)
+      dd.unpersist(false)
+      out
     }),
 
     // per-partition lineage/metrics table from a checkpointed run

@@ -51,10 +51,23 @@ object Incremental {
     val bfB = spark.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bfB.value.mightContainLong(h))
 
-    val definitelyNew = batch.filter(!might(col(hashCol)))
-    val possibleDup = batch.filter(might(col(hashCol)))
+    // null hashes: a null key never matches in the anti-join, so the plain
+    // formulation KEEPS such rows — route them straight to definitely-new
+    // (the primitive-input UDF would otherwise return null and the row
+    // would silently land in neither branch)
+    val definitelyNew =
+      batch.filter(col(hashCol).isNull || !might(col(hashCol)))
+    val possibleDup =
+      batch.filter(col(hashCol).isNotNull && might(col(hashCol)))
     val confirmedNew = possibleDup.join(
       existing.select(col(hashCol)).distinct(), Seq(hashCol), "left_anti")
-    definitelyNew.unionByName(confirmedNew)
+    // materialize, then release the (potentially corpus-sized) filter —
+    // same broadcast lifecycle as MinHashLSH/NgramJaccard; without the
+    // destroy, repeated increments stack one filter per call until driver
+    // GC. The localCheckpoint costs O(new rows) executor storage; callers
+    // streaming the result elsewhere can inline these two stages instead.
+    val out = definitelyNew.unionByName(confirmedNew).localCheckpoint(true)
+    bfB.destroy()
+    out
   }
 }

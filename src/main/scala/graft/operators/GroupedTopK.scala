@@ -46,14 +46,46 @@ object GroupedTopK {
     val gi = df.schema.fieldIndex(groupCol)
     val si = df.schema.fieldIndex(scoreCol)
     val ti = df.schema.fieldIndex(tieCol)
+    // phase 1 and the phase-2 SQL window must agree on ordering, so only
+    // atomic orderable types are accepted (arrays/structs/maps would also
+    // ClassCastException in the heap comparator)
+    Seq(scoreCol -> si, tieCol -> ti).foreach { case (name, i) =>
+      import org.apache.spark.sql.types._
+      val ok = df.schema(i).dataType match {
+        case _: NumericType => true
+        case StringType | BooleanType | DateType | TimestampType |
+            TimestampNTZType => true
+        case _ => false
+      }
+      require(ok,
+        s"$name: unsupported ordering type ${df.schema(i).dataType} " +
+          "(atomic orderable types only)")
+    }
     val desc = descending
 
-    // rank order: negative when a ranks BEFORE b (nulls last on both keys)
+    // rank order: negative when a ranks BEFORE b (nulls last on both keys).
+    // Strings compare as UTF-8 bytes UNSIGNED — Spark SQL's UTF8String
+    // binary order — NOT Java's UTF-16 compareTo, which ranks
+    // supplementary characters (surrogate pairs) before U+E000..U+FFFF
+    // and would let the heap evict a row the phase-2 window keeps.
     def cmpAny(a: Any, b: Any): Int =
       if (a == null && b == null) 0
       else if (a == null) 1
       else if (b == null) -1
-      else a.asInstanceOf[Comparable[Any]].compareTo(b)
+      else (a, b) match {
+        case (x: String, y: String) =>
+          val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          var i = 0
+          val n = math.min(xb.length, yb.length)
+          var r = 0
+          while (i < n && r == 0) {
+            r = (xb(i) & 0xff) - (yb(i) & 0xff)
+            i += 1
+          }
+          if (r != 0) r else xb.length - yb.length
+        case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      }
     def rankCmp(a: Row, b: Row): Int = {
       val s0 = cmpAny(a.get(si), b.get(si))
       val s =

@@ -206,11 +206,6 @@ object QualityFilter {
     apply(spark, turns, cleanCfg, filterCfg).as[graft.model.CleanedTurn]
   }
 
-  /** Sequential single-threaded evaluation of the SAME spec — the oracle the
-    * distributed pipeline is checked against (keep/drop F1 and byte-exact
-    * scrubbed text, BASELINE.md targets). Uses the same pure kernels but an
-    * explicit prev-K buffer instead of a Window, so it exercises none of
-    * Spark's distribution machinery. */
   /** One sequentially-evaluated turn: every field the distributed pipeline
     * emits, produced by the plain single-threaded spec loop. */
   final case class SeqEval(
@@ -256,6 +251,11 @@ object QualityFilter {
       }
   }
 
+  /** Sequential single-threaded evaluation of the SAME spec — the oracle the
+    * distributed pipeline is checked against (keep/drop F1 and byte-exact
+    * scrubbed text, BASELINE.md targets). Uses the same pure kernels but an
+    * explicit prev-K buffer instead of a Window, so it exercises none of
+    * Spark's distribution machinery. */
   def sequentialOracle(
       turns: Seq[Turn],
       cleanCfg: CleanConfig = CleanConfig.transcriptDefault,

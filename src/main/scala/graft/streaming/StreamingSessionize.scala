@@ -16,11 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * re-read-idempotent, like [[StreamingMetrics]].
   *
   * State per user is the NON-finalizable suffix of its events (those within
-  * `gap` of the watermark horizon) plus a session counter — bounded by the
-  * event rate inside (lateness + gap), never by stream length. Idle users
-  * finalize through an EVENT-TIME timeout at `last + gap` (processing-time
-  * timeouts would make every micro-batch schedule another — the
-  * processAllAvailable livelock documented in [[StreamingFilter]]).
+  * `gap` of the watermark horizon) plus a session counter — the event
+  * buffer is bounded by the rate inside (lateness + gap), never by stream
+  * length; the counter record itself persists across idle periods (bytes
+  * per user ever seen — the price of the global 1..n numbering). Idle
+  * users finalize through an EVENT-TIME timeout at the open session's
+  * last event + gap (processing-time timeouts would make every
+  * micro-batch schedule another — the processAllAvailable livelock
+  * documented in [[StreamingFilter]]).
   */
 object StreamingSessionize {
 
@@ -55,7 +58,12 @@ object StreamingSessionize {
       val prior = state.getOption.getOrElse(UserState(Nil, 1L))
       // merge + order by (ts, event_id): the total order batch q38 uses
       val all = (prior.pendingUs ++ incoming).distinct.sorted
-      if (all.isEmpty) { state.remove(); return Iterator.empty }
+      if (all.isEmpty) {
+        // defensive (unreachable: timeouts are only armed while sessions
+        // are open) — never drop the session counter
+        state.update(prior)
+        return Iterator.empty
+      }
 
       val wmUs = state.getCurrentWatermarkMs() * 1000L
       // split into gap-delimited sessions
@@ -76,18 +84,21 @@ object StreamingSessionize {
         r
       }
       val pending = open.flatten.toList
-      if (pending.isEmpty && state.getCurrentWatermarkMs() > 0) state.remove()
-      else {
-        state.update(UserState(pending, seq))
-        // wake when the earliest open session could finalize; clamped above
-        // the current watermark (Spark rejects earlier timeout timestamps —
-        // reachable when an open session's FIRST event is older than the
-        // watermark while its last keeps it open)
-        if (pending.nonEmpty) {
-          val wake = pending.map(_._1).min / 1000L + gapUs / 1000L + 1L
-          state.setTimeoutTimestamp(
-            math.max(wake, state.getCurrentWatermarkMs() + 1L))
-        }
+      // state is kept even when no session is open: the session counter
+      // must survive idle periods, or a returning user would restart at
+      // session_id=1 and emit duplicate (user_id, session_id) keys. The
+      // lingering record is (Nil, counter) — bytes per user ever seen, the
+      // inherent price of a global per-user 1..n numbering (drop the
+      // numbering contract if user cardinality forbids it).
+      state.update(UserState(pending, seq))
+      if (pending.nonEmpty) {
+        // wake when the earliest OPEN session could finalize: its LAST
+        // event + gap (waking at its first event + gap is always too early
+        // for multi-event sessions and re-arms every micro-batch); clamped
+        // above the current watermark (Spark rejects earlier timestamps)
+        val wake = open.map(_.last._1).min / 1000L + gapUs / 1000L + 1L
+        state.setTimeoutTimestamp(
+          math.max(wake, state.getCurrentWatermarkMs() + 1L))
       }
       out.iterator
     }

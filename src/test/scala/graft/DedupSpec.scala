@@ -237,13 +237,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .toDF("tag", "h0", "id")
       .select(col("id"), xxhash64(concat(col("tag"), col("h0"))).as("h"))
 
-    val exact = batch.join(existing, Seq("h"), "left_anti")
+    // null hashes must pass through like the plain anti-join keeps them
+    // (null keys never match), not vanish in the Bloom prefilter
+    val withNull = batch.unionByName(
+      Seq((99999L, Option.empty[Long])).toDF("id", "h"))
+
+    val exact = withNull.join(existing, Seq("h"), "left_anti")
       .select("id").as[Long].collect().toSet
     val viaBloom = Incremental
-      .newRows(spark, batch, existing, "h", expectedItems = 50, fpp = 0.03)
+      .newRows(spark, withNull, existing, "h", expectedItems = 50, fpp = 0.03)
       .select("id").as[Long].collect().toSet
     assert(viaBloom === exact)
-    assert(exact.size === 2000)
+    assert(exact.size === 2001 && exact.contains(99999L))
 
     // right-sized filter: only ~dups+fpp·batch rows may reach the verify
     // join — count them through the possible-dup predicate the operator uses

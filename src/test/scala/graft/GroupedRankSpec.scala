@@ -78,6 +78,36 @@ class GroupedRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("GroupedTopK string ordering matches Spark SQL (UTF-8 binary, not UTF-16)") {
+    import spark.implicits._
+    // U+1F600 (surrogate pair, UTF-16: D83D DE00) vs U+E000: Java compareTo
+    // ranks the emoji FIRST, Spark's UTF8String binary order ranks it LAST —
+    // with k=1 a UTF-16 heap would evict the row the window keeps
+    val rows = Seq(
+      ("g", 1L, "😀"), ("g", 2L, ""), ("g", 3L, "abc"),
+      ("h", 4L, "z😀"), ("h", 5L, "z"))
+      .toDF("source", "id", "s").repartition(3)
+    for (k <- Seq(1, 2); descFlag <- Seq(true, false)) {
+      val got = GroupedTopK
+        .topK(rows, "source", "s", "id", k = k, descending = descFlag)
+        .select(col("source"), col("rk"), col("id"))
+        .as[(String, Int, Long)].collect().toSet
+      val ord = if (descFlag) col("s").desc else col("s").asc
+      val want = rows
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(ord, col("id"))))
+        .filter(col("rk") <= k)
+        .select(col("source"), col("rk"), col("id"))
+        .as[(String, Int, Long)].collect().toSet
+      assert(got === want, s"k=$k desc=$descFlag")
+    }
+    // non-atomic order columns are rejected upfront, not at task time
+    val bad = Seq(("g", 1L, Seq(1, 2))).toDF("source", "id", "arr")
+    intercept[IllegalArgumentException] {
+      GroupedTopK.topK(bad, "source", "arr", "id", k = 1)
+    }
+  }
+
   test("GroupedTopK ascending mode returns the k smallest") {
     import spark.implicits._
     val docs = mkDocs.filter(col("source").isNotNull)

@@ -180,7 +180,10 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
       ev(1, "2026-01-01 11:05:00", 4),
       ev(2, "2026-01-01 10:02:00", 5),
       ev(2, "2026-01-01 10:31:00", 6), // 29 min gap → same session
-      ev(3, "2026-01-01 12:00:00", 7))
+      ev(3, "2026-01-01 12:00:00", 7),
+      // user 1 RETURNS after every earlier session finalized — the
+      // counter must survive the idle gap (session 3, never a reset to 1)
+      ev(1, "2026-01-01 21:00:00", 8))
 
     val input = MemoryStream[SessEvent]
     val query = StreamingSessionize(input.toDS(), lateness = "10 minutes")
@@ -194,7 +197,9 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
       // push the watermark far past every open session + gap
       input.addData(Seq(ev(99, "2026-01-01 20:00:00", 999)))
       query.processAllAvailable()
-      input.addData(Seq(ev(99, "2026-01-01 23:00:00", 1000)))
+      input.addData(Seq(all(7)))
+      query.processAllAvailable()
+      input.addData(Seq(ev(99, "2026-01-02 04:00:00", 1000)))
       query.processAllAvailable()
     } finally query.stop()
 
