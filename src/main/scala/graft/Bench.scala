@@ -19,11 +19,14 @@ import org.apache.spark.sql.SparkSession
   * starts with one of the comma-separated prefixes (flagship skipped unless
   * "flagship" is listed).
   *
-  * Noise robustness: SPARK_GRAFT_REPS=N (default 1) times each query N
-  * times and reports the BEST rep in "queries"/"value"; the raw per-rep
-  * times are emitted under "spreads" so a noisy-neighbor spike is visible
-  * as a wide spread on one rep instead of contaminating the headline
-  * number (the sandbox host shows 5× control-run swings — BASELINE.md).
+  * Noise robustness: SPARK_GRAFT_REPS=N times each query N times and
+  * reports the BEST rep in "queries"/"value"; the raw per-rep times are
+  * emitted under "spreads" so a noisy-neighbor spike is visible as a wide
+  * spread on one rep instead of contaminating the headline number (the
+  * sandbox host shows 5× control-run swings — BASELINE.md; round 2's
+  * driver capture recorded a 29.6 s spike on a query that re-ran at
+  * 0.6 s). Default is 2 so the unattended driver capture gets the
+  * protection; set 1 for the fastest single-pass iteration loop.
   */
 object Bench {
 
@@ -53,7 +56,7 @@ object Bench {
     // parse BEFORE the minutes-long warmup so a malformed value fails fast
     // (and tolerate shell-script stray whitespace)
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_REPS")
-      .map(_.trim).filter(_.nonEmpty).fold(1) { v =>
+      .map(_.trim).filter(_.nonEmpty).fold(2) { v =>
         v.toIntOption.getOrElse(
           throw new IllegalArgumentException(
             s"SPARK_GRAFT_REPS must be an integer, got '$v'"))

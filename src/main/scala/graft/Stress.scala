@@ -98,6 +98,28 @@ object Stress {
         .count()
     }
 
+    // grouped top-k: per-partition bounded heaps + survivor merge over the
+    // full corpus (the quota-curation 100-TB shape — corpus never shuffles)
+    val (tkRows, tkSec) = timed {
+      graft.operators.GroupedTopK.topK(
+        docs.withColumn("source", concat(lit("s"), pmod(col("id"), lit(16))))
+          .withColumn("n_chars", length(col("text")))
+          .select("source", "id", "n_chars"),
+        groupCol = "source", scoreCol = "n_chars", tieCol = "id", k = 5)
+        .count()
+    }
+
+    // Bloom-prefiltered incremental dedup: second half of the corpus as
+    // the increment against the first half (possible-dup-only exchange)
+    val (biRows, biSec) = timed {
+      val hashed = docs.select(col("id"), xxhash64(col("text")).as("h"))
+      val half = nDocs / 2
+      graft.dedup.Incremental.newRows(spark,
+        hashed.filter(col("id") % 2 === 0),
+        hashed.filter(col("id") % 2 === 1).select("h"),
+        "h", expectedItems = half, fpp = 0.01).count()
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -117,6 +139,8 @@ object Stress {
         f""""dup_groups_dist":{"sec":$ccSec%.1f,"groups":$ccGroups,"rounds":$ccRounds},""" +
         f""""epoch_shuffle":{"sec":$esSec%.1f,"rows":$esRows},""" +
         f""""interleave":{"sec":$ilSec%.1f,"rows":$ilRows},""" +
+        f""""grouped_topk":{"sec":$tkSec%.1f,"rows":$tkRows},""" +
+        f""""bloom_incremental":{"sec":$biSec%.1f,"rows":$biRows},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
