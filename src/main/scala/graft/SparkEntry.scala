@@ -958,6 +958,14 @@ object SparkEntry {
       // UAX#29 counts from tools/gen_uax29_golden.py and the sequential
       // spec evaluator's reason histogram from GoldenReasons. DuckDB reads
       // the committed file; a pipeline drift fails the compare.
+      "q13_langid" ->
+        """SELECT doc_id, pred_lang
+           FROM read_parquet('/root/repo/src/test/resources/golden/docs_sf001_golden.parquet')
+           ORDER BY doc_id""",
+      "q28_tokenize_stop" ->
+        """SELECT doc_id, tokens
+           FROM read_parquet('/root/repo/src/test/resources/golden/docs_sf001_golden.parquet')
+           ORDER BY doc_id""",
       "q15_keep_drop" ->
         """SELECT conv_id, turn_idx, role, lang, keep, scrubbed_text
            FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
