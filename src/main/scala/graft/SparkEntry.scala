@@ -974,6 +974,10 @@ object SparkEntry {
         """SELECT conv_id, turn_idx, clean_text_allon AS cleaned
            FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
            ORDER BY conv_id, turn_idx""",
+      "q17_simhash_sigs" ->
+        """SELECT doc_id, simhash64
+           FROM read_parquet('/root/repo/src/test/resources/golden/simhash_sf001.parquet')
+           ORDER BY doc_id""",
       "q24_winnow_fingerprints" ->
         """SELECT doc_id, n_fingerprints, min_fp
            FROM read_parquet('/root/repo/src/test/resources/golden/winnow_sf001.parquet')

@@ -1,7 +1,10 @@
 package graft.dedup
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 /** Incremental (per-crawl-increment) dedup at corpus scale: keep only
   * new-batch rows whose content hash is absent from the existing corpus.
@@ -47,7 +50,38 @@ object Incremental {
       fpp: Double = 0.01
   ): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
-    val bf = existing.stat.bloomFilter(hashCol, math.max(1L, expectedItems), fpp)
+    val bf = buildFilter(existing, hashCol, expectedItems, fpp)
+    newRowsWithFilter(spark, batch, existing, hashCol, bf)
+  }
+
+  /** Distributed Bloom build over `existing`'s hash column (deterministic —
+    * filter bits OR-merge order-independently). */
+  def buildFilter(
+      existing: DataFrame,
+      hashCol: String,
+      expectedItems: Long,
+      fpp: Double = 0.01
+  ): BloomFilter =
+    existing.stat.bloomFilter(hashCol, math.max(1L, expectedItems), fpp)
+
+  /** [[newRows]] with a PREBUILT filter — the steady-state shape: a
+    * production pipeline persists the filter next to the corpus snapshot
+    * ([[writeFilter]]/[[readFilter]]) and folds each committed increment's
+    * bits in with `mergeInPlace` — the increment's filter MUST be built
+    * with the same (expectedItems, fpp) sizing, or Spark refuses the
+    * merge ("different bit size"); size for the corpus' target
+    * cardinality from day one. No per-increment pass over the existing
+    * corpus is needed to maintain it. (The exact verify join still
+    * references `existing`, but only possible-duplicate batch rows probe
+    * it — on a bucketed corpus table that is a pruned lookup, not a scan.)
+    */
+  def newRowsWithFilter(
+      spark: SparkSession,
+      batch: DataFrame,
+      existing: DataFrame,
+      hashCol: String,
+      bf: BloomFilter
+  ): DataFrame = {
     val bfB = spark.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bfB.value.mightContainLong(h))
 
@@ -69,5 +103,28 @@ object Incremental {
     val out = definitelyNew.unionByName(confirmedNew).localCheckpoint(true)
     bfB.destroy()
     out
+  }
+
+  // -- filter persistence (Hadoop FS: file:// locally, s3a/abfs in prod) --
+
+  def writeFilter(
+      bf: BloomFilter,
+      path: String,
+      conf: Configuration = new Configuration()): Unit = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try bf.writeTo(out)
+    finally out.close()
+  }
+
+  def readFilter(
+      path: String,
+      conf: Configuration = new Configuration()): BloomFilter = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try BloomFilter.readFrom(in)
+    finally in.close()
   }
 }

@@ -252,10 +252,28 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
 
     // right-sized filter: only ~dups+fpp·batch rows may reach the verify
     // join — count them through the possible-dup predicate the operator uses
-    val bf = existing.stat.bloomFilter("h", 4000L, 0.01)
+    val bf = Incremental.buildFilter(existing, "h", 4000L, 0.01)
     val nPossible = batch.collect().count(r => bf.mightContainLong(r.getLong(1)))
     assert(nPossible < 1000 + 200,
       s"$nPossible possible-dups for 1000 true dups at fpp=0.01")
+
+    // steady state: persist → reload → prebuilt-filter path gives the same
+    // exact result; merging an increment's bits extends coverage
+    val fPath = "file://" + java.nio.file.Files
+      .createTempDirectory("graft_bloom_").toString + "/corpus.bloom"
+    Incremental.writeFilter(bf, fPath)
+    val reloaded = Incremental.readFilter(fPath)
+    val viaPrebuilt = Incremental
+      .newRowsWithFilter(spark, batch, existing, "h", reloaded)
+      .select("id").as[Long].collect().toSet
+    assert(viaPrebuilt === batch.join(existing, Seq("h"), "left_anti")
+      .select("id").as[Long].collect().toSet)
+    // increments must use the SAME sizing: Spark refuses to merge
+    // different bit sizes (sizing is part of the persisted-filter contract)
+    val increment = batch.filter(col("id") >= 10000L).select("h")
+    reloaded.mergeInPlace(Incremental.buildFilter(increment, "h", 4000L, 0.01))
+    val missed = increment.as[Long].collect().count(h => !reloaded.mightContainLong(h))
+    assert(missed === 0, "merged filter must cover the increment (no false negatives)")
   }
 
   test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {
