@@ -600,6 +600,17 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // deterministic train/val/test split: hash-range assignment per doc —
+    // narrow, RNG-free, retry-stable, disjoint+exhaustive by construction,
+    // replayed bit-exactly by an ANSI CASE over the same md5 prefix
+    "q61_train_split" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.sample.Stratified.splitExpr(col("text"),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }),
+
     // quality-tier bucketing: per-source quartiles by size (quality-score
     // proxy) — the tier label quality-weighted mixing samples from.
     // Exact ntile computed arithmetically from the scalable GroupedRank
@@ -1168,6 +1179,13 @@ object SparkEntry {
              AND NOT EXISTS (SELECT 1 FROM documents e
                              WHERE e.doc_id < 250 AND md5(e.text) = md5(d.text))
            GROUP BY lang ORDER BY lang""",
+      // thresholds are thresholdHex(0.8)/(0.9): floor(f * 2^32) in hex
+      "q61_train_split" ->
+        """SELECT doc_id,
+             CASE WHEN substr(md5(coalesce(text, '')), 1, 8) < 'cccccccc' THEN 'train'
+                  WHEN substr(md5(coalesce(text, '')), 1, 8) < 'e6666666' THEN 'val'
+                  ELSE 'test' END AS split
+           FROM documents ORDER BY doc_id""",
       // same relation as q49: the Bloom stage is exact by construction
       "q60_bloom_incremental" ->
         """SELECT lang, count(*) AS n_new, min(doc_id) AS first_id

@@ -61,4 +61,30 @@ object Stratified {
       defaultRate: Double = 1.0
   ): DataFrame =
     df.filter(keepExpr(col(strataCol), col(keyCol), rates, defaultRate))
+
+  /** Deterministic multi-way SPLIT (train/val/test): assigns each row the
+    * label of the hash-range its 32-bit draw falls into — the same
+    * [[gate]] machinery as rate sampling, so splits inherit its
+    * properties: narrow per-row expression (no shuffle, no RNG state),
+    * retry/re-run/backfill-stable, disjoint and exhaustive by
+    * construction, and engine-portable (an ANSI CASE over the same md5
+    * prefix replays it bit-exactly). Fractions are cumulative-thresholded;
+    * the LAST split absorbs the remainder ("g" upper bound), so weights
+    * that sum to 1 within rounding still cover every row.
+    *
+    * @param splits ordered (label, fraction) pairs; fractions in (0, 1],
+    *               summing to ≤ 1 + ulp-slack (the last label takes the
+    *               tail either way)
+    */
+  def splitExpr(key: Column, splits: Seq[(String, Double)]): Column = {
+    require(splits.nonEmpty, "at least one split")
+    require(splits.forall(_._2 > 0), s"fractions must be > 0: $splits")
+    val cum = splits.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    require(cum.last <= 1.0 + 1e-9, s"fractions sum to ${cum.last} > 1")
+    val g = gate(coalesce(key, lit(""))) // null keys split deterministically too
+    val bounds = cum.init.map(thresholdHex) :+ "g" // last split takes the tail
+    splits.map(_._1).zip(bounds).reverse.foldLeft(lit(null: String)) {
+      case (acc, (label, hi)) => when(g < lit(hi), lit(label)).otherwise(acc)
+    }
+  }
 }

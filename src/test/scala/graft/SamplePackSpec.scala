@@ -99,6 +99,35 @@ class SamplePackSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Stratified.splitExpr: disjoint+exhaustive, fractions honored, prefix-stable") {
+    import spark.implicits._
+    import graft.sample.Stratified
+    val df = (0 until 6000).map(i => s"document payload $i").toDF("text")
+
+    def assign(splits: Seq[(String, Double)]): Map[String, String] =
+      df.select(col("text"), Stratified.splitExpr(col("text"), splits).as("s"))
+        .as[(String, String)].collect().toMap
+
+    val a = assign(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // exhaustive (no nulls) + deterministic
+    assert(a.size === 6000 && !a.values.exists(_ == null))
+    assert(a === assign(Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)))
+    // fractions within binomial tolerance (~4 sigma)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 4800) < 4 * math.sqrt(6000 * 0.8 * 0.2))
+    assert(math.abs(counts("val") - 600) < 4 * math.sqrt(6000 * 0.1 * 0.9))
+    // growing train only promotes rows INTO train (stable hash prefixes):
+    // re-tuning the split never churns previously-assigned training rows
+    val b = assign(Seq("train" -> 0.9, "test" -> 0.1))
+    val trainA = a.collect { case (k, "train") => k }.toSet
+    val trainB = b.collect { case (k, "train") => k }.toSet
+    assert(trainA.subsetOf(trainB))
+    // degenerate weights rejected eagerly
+    intercept[IllegalArgumentException] {
+      Stratified.splitExpr(col("text"), Seq("a" -> 0.7, "b" -> 0.5))
+    }
+  }
+
   test("Stratified: rates honored within binomial tolerance, subset-stable") {
     import spark.implicits._
     val rows = (0 until 4000).map(i => (s"s${i % 2}", s"payload text $i"))
