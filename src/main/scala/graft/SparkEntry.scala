@@ -402,6 +402,17 @@ object SparkEntry {
         .orderBy("reason")
     }),
 
+    // per-rule ABLATION: turns dropped SOLELY by each rule — the marginal
+    // count a filter-tuning loop reads (relaxing that one rule recovers
+    // exactly these turns); golden-pinned against the sequential evaluator
+    "q62_rule_ablation" -> ((s, dir) => {
+      QualityFilter(s, synthTurns(s, dir))
+        .filter(size(col("drop_reasons")) === 1)
+        .select(element_at(col("drop_reasons"), 1).as("reason"))
+        .groupBy("reason").agg(count(lit(1)).as("n_sole"))
+        .orderBy("reason")
+    }),
+
     // grouping-set aggregation (rollup) — beyond the reference's flat aggs
     "q35_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1001,7 +1012,16 @@ object SparkEntry {
         """SELECT reason, count
            FROM read_csv('/root/repo/src/test/resources/golden/drop_reasons_sf001.tsv',
                          header = true, delim = '\t',
-                         columns = {'reason': 'VARCHAR', 'count': 'BIGINT'})
+                         columns = {'reason': 'VARCHAR', 'count': 'BIGINT',
+                                    'sole_count': 'BIGINT'})
+           ORDER BY reason""",
+      "q62_rule_ablation" ->
+        """SELECT reason, sole_count AS n_sole
+           FROM read_csv('/root/repo/src/test/resources/golden/drop_reasons_sf001.tsv',
+                         header = true, delim = '\t',
+                         columns = {'reason': 'VARCHAR', 'count': 'BIGINT',
+                                    'sole_count': 'BIGINT'})
+           WHERE sole_count > 0
            ORDER BY reason""",
       "q59_capstone_manifest" ->
         s"""WITH RECURSIVE

@@ -24,17 +24,20 @@ object GoldenReasons {
 
   def main(args: Array[String]): Unit = {
     val turns = TranscriptGen.local(NConvs, megaTurns = Mega)
-    val hist = QualityFilter
-      .sequentialReasons(turns)
-      .flatMap(_._3)
-      .groupBy(identity)
-      .map { case (r, rs) => (r, rs.size.toLong) }
-      .toSeq
-      .sortBy(_._1)
-    val out = "reason\tcount\n" +
-      hist.map { case (r, n) => s"$r\t$n" }.mkString("\n")
+    val reasons = QualityFilter.sequentialReasons(turns).map(_._3)
+    val hist = reasons.flatten
+      .groupBy(identity).map { case (r, rs) => (r, rs.size.toLong) }
+    // ablation column: turns dropped SOLELY by this rule — the marginal
+    // cost a filter-tuning loop reads (relaxing the rule recovers exactly
+    // these turns)
+    val sole = reasons.filter(_.size == 1).map(_.head)
+      .groupBy(identity).map { case (r, rs) => (r, rs.size.toLong) }
+    val rows = hist.keySet.toSeq.sorted
+      .map(r => (r, hist(r), sole.getOrElse(r, 0L)))
+    val out = "reason\tcount\tsole_count\n" +
+      rows.map { case (r, n, s) => s"$r\t$n\t$s" }.mkString("\n")
     Files.write(path, out.getBytes(StandardCharsets.UTF_8))
-    println(s"wrote ${hist.size} reason rows to $path")
-    hist.foreach { case (r, n) => println(f"  $r%-24s $n") }
+    println(s"wrote ${rows.size} reason rows to $path")
+    rows.foreach { case (r, n, s) => println(f"  $r%-24s $n%6d sole=$s%6d") }
   }
 }
