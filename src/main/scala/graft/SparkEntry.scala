@@ -851,6 +851,9 @@ object SparkEntry {
   // -- oracle SQL (DuckDB dialect; same parquet tables) --------------------
 
   def oracleSql: Map[String, String] = {
+    // committed golden fixtures the oracle replays (generated by the
+    // tools/ generators and the Golden* test mains; see COVERAGE.md)
+    val golden = "/root/repo/src/test/resources/golden"
     val words =
       "case when trim(text)='' then 0 else len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> x != '')) end"
     Map(
@@ -981,43 +984,43 @@ object SparkEntry {
       // spec evaluator's reason histogram from GoldenReasons. DuckDB reads
       // the committed file; a pipeline drift fails the compare.
       "q13_langid" ->
-        """SELECT doc_id, pred_lang
-           FROM read_parquet('/root/repo/src/test/resources/golden/docs_sf001_golden.parquet')
+        s"""SELECT doc_id, pred_lang
+           FROM read_parquet('$golden/docs_sf001_golden.parquet')
            ORDER BY doc_id""",
       "q28_tokenize_stop" ->
-        """SELECT doc_id, tokens
-           FROM read_parquet('/root/repo/src/test/resources/golden/docs_sf001_golden.parquet')
+        s"""SELECT doc_id, tokens
+           FROM read_parquet('$golden/docs_sf001_golden.parquet')
            ORDER BY doc_id""",
       "q15_keep_drop" ->
-        """SELECT conv_id, turn_idx, role, lang, keep, scrubbed_text
-           FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
+        s"""SELECT conv_id, turn_idx, role, lang, keep, scrubbed_text
+           FROM read_parquet('$golden/turns_sf001_golden.parquet')
            ORDER BY conv_id, turn_idx""",
       "q30_full_chain" ->
-        """SELECT conv_id, turn_idx, clean_text_allon AS cleaned
-           FROM read_parquet('/root/repo/src/test/resources/golden/turns_sf001_golden.parquet')
+        s"""SELECT conv_id, turn_idx, clean_text_allon AS cleaned
+           FROM read_parquet('$golden/turns_sf001_golden.parquet')
            ORDER BY conv_id, turn_idx""",
       "q17_simhash_sigs" ->
-        """SELECT doc_id, simhash64
-           FROM read_parquet('/root/repo/src/test/resources/golden/simhash_sf001.parquet')
+        s"""SELECT doc_id, simhash64
+           FROM read_parquet('$golden/simhash_sf001.parquet')
            ORDER BY doc_id""",
       "q24_winnow_fingerprints" ->
-        """SELECT doc_id, n_fingerprints, min_fp
-           FROM read_parquet('/root/repo/src/test/resources/golden/winnow_sf001.parquet')
+        s"""SELECT doc_id, n_fingerprints, min_fp
+           FROM read_parquet('$golden/winnow_sf001.parquet')
            ORDER BY doc_id""",
       "q26_uax29_words" ->
-        """SELECT doc_id, n_words_uax29
-           FROM read_parquet('/root/repo/src/test/resources/golden/uax29_sf001.parquet')
+        s"""SELECT doc_id, n_words_uax29
+           FROM read_parquet('$golden/uax29_sf001.parquet')
            ORDER BY doc_id""",
       "q33_drop_reasons" ->
-        """SELECT reason, count
-           FROM read_csv('/root/repo/src/test/resources/golden/drop_reasons_sf001.tsv',
+        s"""SELECT reason, count
+           FROM read_csv('$golden/drop_reasons_sf001.tsv',
                          header = true, delim = '\t',
                          columns = {'reason': 'VARCHAR', 'count': 'BIGINT',
                                     'sole_count': 'BIGINT'})
            ORDER BY reason""",
       "q62_rule_ablation" ->
-        """SELECT reason, sole_count AS n_sole
-           FROM read_csv('/root/repo/src/test/resources/golden/drop_reasons_sf001.tsv',
+        s"""SELECT reason, sole_count AS n_sole
+           FROM read_csv('$golden/drop_reasons_sf001.tsv',
                          header = true, delim = '\t',
                          columns = {'reason': 'VARCHAR', 'count': 'BIGINT',
                                     'sole_count': 'BIGINT'})

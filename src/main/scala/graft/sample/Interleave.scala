@@ -1,7 +1,6 @@
 package graft.sample
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic WEIGHTED INTERLEAVE — the stream-merge a training-data

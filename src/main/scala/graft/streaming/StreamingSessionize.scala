@@ -50,7 +50,7 @@ object StreamingSessionize {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def finalize(
+    def emitFinalized(
         userId: Long,
         state: GroupState[UserState],
         incoming: Seq[(Long, Long)]
@@ -109,12 +109,12 @@ object StreamingSessionize {
       .flatMapGroupsWithState(
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, it: Iterator[SessEvent], state: GroupState[UserState]) =>
-          if (state.hasTimedOut) finalize(userId, state, Nil)
+          if (state.hasTimedOut) emitFinalized(userId, state, Nil)
           else {
             val incoming = it.map(e =>
               (e.ts.getTime * 1000L + (e.ts.getNanos / 1000L) % 1000L,
                 e.event_id)).toSeq
-            finalize(userId, state, incoming)
+            emitFinalized(userId, state, incoming)
           }
       }
   }

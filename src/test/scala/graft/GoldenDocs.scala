@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import graft.model.CleanConfig
 
 /** Writes the committed PER-DOCUMENT golden table for the q13/q28 oracles:
@@ -32,19 +30,8 @@ object GoldenDocs {
       else (id, graft.quality.LangId.model.classify(text)._1, chain(text))
     }
 
-    val tmp = Files.createTempDirectory("graft_golden_docs_").toString
-    rows.toSeq.toDF("doc_id", "pred_lang", "tokens")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
-    require(moved, "no parquet part file produced")
+    GoldenIo.writeSingleParquet(
+      rows.toSeq.toDF("doc_id", "pred_lang", "tokens"), path)
     println(s"wrote ${rows.length} golden docs to $path")
     spark.stop()
   }

@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import graft.gen.TranscriptGen
 import graft.run.QualityFilter
 
@@ -34,24 +32,13 @@ object GoldenTurns {
     val allOn = graft.pipeline.CleanPipeline
       .kernelChain(graft.model.CleanConfig.allOn)
     val allOnMap = turns.map(t => (t.conv_id, t.turn_idx) -> allOn(t.text)).toMap
-    val tmp = Files.createTempDirectory("graft_golden_turns_").toString
-    evals
-      .map(e => (e.conv_id, e.turn_idx, e.role, e.lang, e.keep,
-        e.clean_text, e.scrubbed_text, allOnMap((e.conv_id, e.turn_idx))))
-      .toDF("conv_id", "turn_idx", "role", "lang", "keep",
-        "clean_text", "scrubbed_text", "clean_text_allon")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
-    require(moved, "no parquet part file produced")
+    GoldenIo.writeSingleParquet(
+      evals
+        .map(e => (e.conv_id, e.turn_idx, e.role, e.lang, e.keep,
+          e.clean_text, e.scrubbed_text, allOnMap((e.conv_id, e.turn_idx))))
+        .toDF("conv_id", "turn_idx", "role", "lang", "keep",
+          "clean_text", "scrubbed_text", "clean_text_allon"),
+      path)
     println(s"wrote ${evals.size} golden turns to $path")
     spark.stop()
   }
