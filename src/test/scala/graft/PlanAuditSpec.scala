@@ -232,6 +232,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("train/val/test split is a narrow expression — zero exchanges") {
+    import spark.implicits._
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.sample.Stratified.splitExpr(col("text"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).as("split"))
+    val plan = executedPlan(df)
+    assert(!"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findFirstIn(plan).isDefined,
+      s"split assignment must not shuffle:\n$plan")
+  }
+
+  test("Bloom incremental dedup shuffles only possible-duplicate rows") {
+    import spark.implicits._
+    // 40k-row batch vs 40k existing, 1% true dups: with fpp=0.01 the
+    // exact-verify exchange carries ~2% of the batch, not the corpus
+    val existing = (0L until 40000L)
+      .map(i => ("e", i)).toDF("tag", "i")
+      .select(xxhash64(concat(col("tag"), col("i"))).as("h"))
+      .localCheckpoint(true)
+    val batch = ((0L until 400L).map(i => ("e", i)) ++
+      (0L until 39600L).map(i => ("n", i)))
+      .toDF("tag", "i")
+      .select(col("i").as("id"), xxhash64(concat(col("tag"), col("i"))).as("h"))
+      .localCheckpoint(true)
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val n =
+      try {
+        val r = graft.dedup.Incremental
+          .newRows(spark, batch, existing, "h", expectedItems = 40000L,
+            fpp = 0.01).count()
+        Thread.sleep(1000)
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(n === 39600L)
+    // the batch alone is ~640 KB of (id, h) pairs; only ~800 possible-dup
+    // rows (+ the existing side of their verify join) may cross the wire
+    assert(shuffleWrite.get() < 256 * 1024,
+      s"incremental dedup shuffled ${shuffleWrite.get()} bytes — the " +
+        "exchange must carry possible-duplicates only")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one KEY with 10k distinct rows (a mega-conversation: same conv_id,
