@@ -28,14 +28,43 @@ object TextCorpus {
   val PreviewTruncationMarker =
     "\n\n[Preview truncated. Open the file to view the full contents.]"
 
-  /** Load a corpus directory: one row per .txt file with its path, detected
-    * encoding, and the decoded text. Decode is total (never throws). */
+  private val txtCaseVariants =
+    Seq("txt", "TXT", "Txt", "tXt", "txT", "TXt", "TxT", "tXT")
+
+  /** Gunzip if the payload is gzip-framed (magic 1f 8b), else pass bytes
+    * through. Total: a corrupt gzip stream falls back to the raw bytes,
+    * which the charset ladder then decodes with replacement — ingest never
+    * throws on a bad file (same contract as [[CharsetDetect.decode]]). */
+  private[sources] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      bytes
+    else
+      try {
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => bytes }
+
+  /** Load a corpus directory: one row per .txt / .txt.gz file with its
+    * path, detected encoding, and the decoded text. Decode is total (never
+    * throws); gzip members are decompressed before charset detection (a
+    * crawled corpus ships gzipped — the binaryFile source does not
+    * transparently decompress like the line-based text source does). */
   def readWithEncoding(spark: SparkSession, dir: String): DataFrame = {
-    val decodeUdf = udf((bytes: Array[Byte]) => CharsetDetect.decode(bytes))
+    val decodeUdf = udf((bytes: Array[Byte]) =>
+      CharsetDetect.decode(gunzipIfNeeded(bytes)))
+    val glob = (txtCaseVariants ++ txtCaseVariants.map(_ + ".gz"))
+      .mkString("*.{", ",", "}")
     spark.read
       .format("binaryFile")
       .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.{txt,TXT,Txt,tXt,txT,TXt,TxT,tXT}")
+      .option("pathGlobFilter", glob)
       .load(dir)
       .select(col("path").as("file_path"), decodeUdf(col("content")).as("d"))
       .select(col("file_path"), col("d._1").as("text"), col("d._2").as("encoding"))

@@ -56,6 +56,34 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     assert(out("u8.txt") === (("café 中文", "UTF-8")))
   }
 
+  test("gzipped corpora: .txt.gz decompresses before charset detection; corrupt gz is total") {
+    val dir = Files.createTempDirectory("graft_corpus_gz_")
+    def gz(bytes: Array[Byte]): Array[Byte] = {
+      val bas = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bas)
+      g.write(bytes); g.close()
+      bas.toByteArray
+    }
+    Files.write(Paths.get(dir.toString, "plain.txt"), "plain text".getBytes("UTF-8"))
+    Files.write(Paths.get(dir.toString, "zipped.txt.gz"), gz("gzipped café".getBytes("UTF-8")))
+    // cp1252 bytes INSIDE the gzip member — the ladder must see the
+    // decompressed payload, not the gzip frame
+    Files.write(Paths.get(dir.toString, "zipped1252.TXT.gz"),
+      gz(Array[Byte](0x93.toByte, 'g', 'z', 0x94.toByte)))
+    // gzip magic but truncated stream: falls back to raw-byte decode, never throws
+    Files.write(Paths.get(dir.toString, "corrupt.txt.gz"),
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte))
+
+    val out = TextCorpus.readWithEncoding(spark, dir.toString).collect()
+      .map(r => Paths.get(r.getString(0).stripPrefix("file:")).getFileName.toString ->
+        ((r.getString(1), r.getString(2)))).toMap
+    assert(out.size === 4)
+    assert(out("plain.txt")._1 === "plain text")
+    assert(out("zipped.txt.gz") === (("gzipped café", "UTF-8")))
+    assert(out("zipped1252.TXT.gz") === (("“gz”", "windows-1252")))
+    assert(out.contains("corrupt.txt.gz")) // present, decoded with replacement
+  }
+
   test("jsonl transcripts: typed parse, malformed + key-incomplete lines quarantined, round-trip") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_")
