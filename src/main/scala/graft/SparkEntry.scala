@@ -571,9 +571,11 @@ object SparkEntry {
     }),
 
     // sequence packing: contiguous fill of 256-token context windows per
-    // source (ordered offset policy — deterministic + SQL-expressible)
+    // source (ordered offset policy — deterministic + SQL-expressible).
+    // SCALABLE prefix sum (range partition + pid windows + driver offsets),
+    // never a whole-source single-task window
     "q48_pack_sequences" -> ((s, dir) => {
-      graft.operators.Pack.manifest(
+      graft.operators.Pack.manifestScalable(s,
         docs(s, dir).withColumn("n_tokens", wordsExpr(col("text"))),
         groupCols = Seq("source"), orderCol = "doc_id",
         weightCol = "n_tokens", budget = 256L)
@@ -792,7 +794,7 @@ object SparkEntry {
       val inter = graft.sample.Interleave
         .byWeight(s, cl, col("source"), col("doc_id"), weights)
         .withColumn("n_tokens", wordsExpr(col("text")))
-      val packed = graft.operators.Pack.contiguous(
+      val packed = graft.operators.Pack.contiguousScalable(s,
         inter, Seq("source"), "interleave_rank", "n_tokens", budget = 256L)
       val manifest = packed
         .groupBy("source", "bin")

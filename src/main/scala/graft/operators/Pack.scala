@@ -51,6 +51,36 @@ object Pack {
       .drop("__cum")
   }
 
+  /** [[contiguous]] with the SCALABLE prefix sum: identical bin assignment,
+    * but the running sum comes from [[graft.sample.GroupedRank.prefixSum]]
+    * (range partition + per-partition window + driver offsets) instead of
+    * a whole-group single-task window — the shape a 100-TB corpus with a
+    * handful of sources needs. Multi-column groups ride as a struct key
+    * (range partitioning orders structs lexicographically). */
+  def contiguousScalable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      weightCol: String,
+      budget: Long,
+      tieCols: Seq[String] = Nil,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(!df.columns.contains("bin") && !df.columns.contains("group_prefix_sum"),
+      "input already has a 'bin'/'group_prefix_sum' column — rename it before packing")
+    val groupKey =
+      if (groupCols.size == 1) col(groupCols.head)
+      else struct(groupCols.map(col): _*)
+    graft.sample.GroupedRank
+      .prefixSum(spark, df, groupKey, (orderCol +: tieCols).map(col),
+        col(weightCol), numPartitions)
+      .withColumn("bin",
+        floor((col("group_prefix_sum") - col(weightCol)) / budget))
+      .drop("group_prefix_sum")
+  }
+
   /** Per-bin summary (n_docs, total weight) — the packing manifest. */
   def manifest(
       df: DataFrame,
@@ -60,6 +90,19 @@ object Pack {
       budget: Long
   ): DataFrame =
     contiguous(df, groupCols, orderCol, weightCol, budget)
+      .groupBy((groupCols.map(col) :+ col("bin")): _*)
+      .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("sum_weight"))
+
+  /** [[manifest]] over the scalable variant. */
+  def manifestScalable(
+      spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCol: String,
+      weightCol: String,
+      budget: Long
+  ): DataFrame =
+    contiguousScalable(spark, df, groupCols, orderCol, weightCol, budget)
       .groupBy((groupCols.map(col) :+ col("bin")): _*)
       .agg(count(lit(1)).as("n_docs"), sum(col(weightCol)).as("sum_weight"))
 }

@@ -92,6 +92,61 @@ object GroupedRank {
       .drop("_ggrp", "_gpid", "_grn", "_gopid", "_gogrp", "_goff", "_gtot")
   }
 
+  /** `df` plus `group_prefix_sum` — the INCLUSIVE running sum of `weight`
+    * within the row's group under ascending `order` — computed with the
+    * same range-partition + per-partition window + driver-offset machinery
+    * as [[rank]] (offsets are per-(pid, group) weight sums instead of row
+    * counts). This is what makes sequence packing scale-safe: the plain
+    * `sum() OVER (PARTITION BY group ORDER BY ...)` sorts a whole group in
+    * one task. `weight` is cast to long (token/byte counts — integral by
+    * contract); `order` must be row-unique within a group. */
+  def prefixSum(
+      spark: SparkSession,
+      df: DataFrame,
+      group: Column,
+      order: Seq[Column],
+      weight: Column,
+      numPartitions: Int = 0
+  ): DataFrame = {
+    require(order.nonEmpty, "order columns required")
+    val p =
+      if (numPartitions > 0) numPartitions
+      else spark.sparkContext.defaultParallelism
+    val keyed = keyedStage(df.withColumn("_gw", weight.cast("long")),
+      group, order, p).localCheckpoint(true)
+
+    val w = Window.partitionBy(col("_gpid"), col("_ggrp"))
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keyed.withColumn("_gcum", sum(col("_gw")).over(w))
+
+    val counts = keyed.groupBy("_gpid", "_ggrp")
+      .agg(coalesce(sum(col("_gw")), lit(0L)).as("_gs")).collect()
+    val byGroup = counts.groupBy(r => r.get(1))
+    val offRows = new java.util.ArrayList[Row]()
+    byGroup.foreach { case (g, rs) =>
+      val sorted = rs.sortBy(_.getInt(0))
+      var acc = 0L
+      sorted.foreach { r =>
+        offRows.add(Row(r.getInt(0), g, acc))
+        acc += r.getLong(2)
+      }
+    }
+    val grpField = keyed.schema("_ggrp")
+    val offSchema = StructType(Seq(
+      StructField("_gopid", IntegerType, nullable = false),
+      grpField.copy(name = "_gogrp"),
+      StructField("_goff", LongType, nullable = false)))
+    val offDf = spark.createDataFrame(offRows, offSchema)
+
+    local
+      .join(
+        broadcast(offDf),
+        col("_gpid") === col("_gopid") && col("_ggrp") <=> col("_gogrp"))
+      .withColumn("group_prefix_sum", col("_goff") + col("_gcum"))
+      .drop("_ggrp", "_gpid", "_gw", "_gcum", "_gopid", "_gogrp", "_goff")
+  }
+
   /** Exact `ntile(n)` from a (1-based) rank and the group total — the ANSI
     * contract (bucket sizes differ by at most 1, earlier buckets larger)
     * computed arithmetically so tiering composes with [[rank]] instead of

@@ -60,6 +60,35 @@ class GroupedRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("GroupedRank.prefixSum == grouped window running sum; scalable Pack == Pack") {
+    import spark.implicits._
+    import graft.operators.Pack
+    val r = new graft.gen.TranscriptGen.Rng(909L)
+    val docs = (0 until 3000).map { i =>
+      (i.toLong, s"s${r.nextInt(4)}", s"d${r.nextInt(3)}", 1L + r.nextInt(40))
+    }.toDF("id", "source", "shard", "w").repartition(7)
+
+    // prefix sum vs the window form (single group)
+    val got = graft.sample.GroupedRank
+      .prefixSum(spark, docs, col("source"), Seq(col("id")), col("w"))
+      .select(col("id"), col("group_prefix_sum"))
+      .as[(Long, Long)].collect().toMap
+    val w = Window.partitionBy("source").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val want = docs.withColumn("c", sum(col("w")).over(w))
+      .select(col("id"), col("c")).as[(Long, Long)].collect().toMap
+    assert(got === want)
+
+    // scalable pack == window pack, single- and multi-column groups
+    for (groups <- Seq(Seq("source"), Seq("source", "shard"))) {
+      val a = Pack.contiguous(docs, groups, "id", "w", budget = 64L)
+        .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+      val b = Pack.contiguousScalable(spark, docs, groups, "id", "w", budget = 64L)
+        .select(col("id"), col("bin")).as[(Long, Long)].collect().toMap
+      assert(a === b, s"groups=$groups")
+    }
+  }
+
   test("GroupedTopK == grouped window top-k, including k > group size") {
     import spark.implicits._
     val docs = mkDocs.filter(col("source").isNotNull)
