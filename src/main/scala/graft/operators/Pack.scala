@@ -70,6 +70,17 @@ object Pack {
     require(budget > 0, s"budget must be > 0, got $budget")
     require(!df.columns.contains("bin") && !df.columns.contains("group_prefix_sum"),
       "input already has a 'bin'/'group_prefix_sum' column — rename it before packing")
+    // the prefix sum is integral (cast to long): a fractional weight would
+    // silently diverge from contiguous() (truncated sum minus raw weight)
+    df.schema(weightCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"$weightCol: integral weight required for the scalable pack, got $dt " +
+          "(token/byte counts); pre-round or use contiguous()")
+    }
     val groupKey =
       if (groupCols.size == 1) col(groupCols.head)
       else struct(groupCols.map(col): _*)

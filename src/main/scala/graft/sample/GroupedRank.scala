@@ -29,6 +29,18 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   */
 object GroupedRank {
 
+  private val tempCols = Set(
+    "_ggrp", "_gpid", "_grn", "_gw", "_gcum", "_gopid", "_gogrp", "_goff", "_gtot")
+
+  /** Fail fast instead of silently clobbering/dropping an input column that
+    * collides with the machinery's temp names. */
+  private def requireNoTempCols(df: DataFrame): Unit = {
+    val clash = df.columns.filter(tempCols)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with GroupedRank " +
+        "internals — rename them first")
+  }
+
   /** The pre-materialization range-partitioned stage — separate so the plan
     * audit can assert the range exchange that [[rank]]'s localCheckpoint
     * hides behind a Scan ExistingRDD. */
@@ -51,6 +63,7 @@ object GroupedRank {
       numPartitions: Int = 0
   ): DataFrame = {
     require(order.nonEmpty, "order columns required")
+    requireNoTempCols(df)
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
@@ -109,6 +122,7 @@ object GroupedRank {
       numPartitions: Int = 0
   ): DataFrame = {
     require(order.nonEmpty, "order columns required")
+    requireNoTempCols(df)
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism

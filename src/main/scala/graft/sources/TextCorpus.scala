@@ -38,18 +38,25 @@ object TextCorpus {
   private[sources] def gunzipIfNeeded(bytes: Array[Byte]): Array[Byte] =
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       bytes
-    else
+    else {
+      // decompressed prefix accumulates OUTSIDE the try: a stream corrupt
+      // at 99% keeps the readable 99% instead of degrading to mojibake
+      // from charset-decoding the raw gzip frame
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
       try {
         val in = new java.util.zip.GZIPInputStream(
           new java.io.ByteArrayInputStream(bytes))
         try {
-          val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-          out.toByteArray
         } finally in.close()
-      } catch { case scala.util.control.NonFatal(_) => bytes }
+        out.toByteArray
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          if (out.size() > 0) out.toByteArray else bytes
+      }
+    }
 
   /** Load a corpus directory: one row per .txt / .txt.gz file with its
     * path, detected encoding, and the decoded text. Decode is total (never
@@ -59,7 +66,9 @@ object TextCorpus {
   def readWithEncoding(spark: SparkSession, dir: String): DataFrame = {
     val decodeUdf = udf((bytes: Array[Byte]) =>
       CharsetDetect.decode(gunzipIfNeeded(bytes)))
-    val glob = (txtCaseVariants ++ txtCaseVariants.map(_ + ".gz"))
+    val glob = (txtCaseVariants ++
+      (for (t <- txtCaseVariants; g <- Seq("gz", "GZ", "Gz", "gZ"))
+        yield s"$t.$g"))
       .mkString("*.{", ",", "}")
     spark.read
       .format("binaryFile")

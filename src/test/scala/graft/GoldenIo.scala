@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 
 /** Shared helper for the Golden* fixture writers: a DataFrame to ONE
@@ -9,17 +11,18 @@ import org.apache.spark.sql.DataFrame
   * want a single reviewable file at a stable path). */
 object GoldenIo {
   def writeSingleParquet(df: DataFrame, path: String): Unit = {
-    val tmp = Files.createTempDirectory("graft_golden_").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).iterator()
-    var moved = false
-    while (part.hasNext && !moved) {
-      val p = part.next()
-      if (p.toString.endsWith(".parquet")) {
-        Files.move(p, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
-        moved = true
-      }
-    }
-    require(moved, "no parquet part file produced")
+    val tmp = Files.createTempDirectory("graft_golden_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = Files.list(tmp)
+    val part =
+      try listing.iterator().asScala.find(_.toString.endsWith(".parquet"))
+      finally listing.close()
+    require(part.isDefined, "no parquet part file produced")
+    Files.move(part.get, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    // clean the _SUCCESS/.crc leftovers (dev-time tool, but no /tmp litter)
+    val walk = Files.walk(tmp)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    finally walk.close()
   }
 }

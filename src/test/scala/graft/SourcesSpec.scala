@@ -73,11 +73,15 @@ class SourcesSpec extends AnyFunSuite with SparkTestBase {
     // gzip magic but truncated stream: falls back to raw-byte decode, never throws
     Files.write(Paths.get(dir.toString, "corrupt.txt.gz"),
       Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08.toByte))
+    // uppercase .GZ suffix must match too (legacy/Windows tooling)
+    Files.write(Paths.get(dir.toString, "upper.TXT.GZ"),
+      gz("upper gz".getBytes("UTF-8")))
 
     val out = TextCorpus.readWithEncoding(spark, dir.toString).collect()
       .map(r => Paths.get(r.getString(0).stripPrefix("file:")).getFileName.toString ->
         ((r.getString(1), r.getString(2)))).toMap
-    assert(out.size === 4)
+    assert(out.size === 5)
+    assert(out("upper.TXT.GZ")._1 === "upper gz")
     assert(out("plain.txt")._1 === "plain text")
     assert(out("zipped.txt.gz") === (("gzipped café", "UTF-8")))
     assert(out("zipped1252.TXT.gz") === (("“gz”", "windows-1252")))
