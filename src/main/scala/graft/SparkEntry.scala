@@ -985,6 +985,16 @@ object SparkEntry {
       // UAX#29 counts from tools/gen_uax29_golden.py and the sequential
       // spec evaluator's reason histogram from GoldenReasons. DuckDB reads
       // the committed file; a pipeline drift fails the compare.
+      // lineage: keep labels from the sequential-spec turn golden, bucket
+      // assignment from the independent Python XXH64 re-derivation
+      // (tools/gen_bucket_golden.py) — the checkpointed run's per-bucket
+      // counts are checked fully outside Spark
+      "q31_lineage_metrics" ->
+        s"""SELECT b.bucket, count(*) AS "rows",
+             cast(sum(CASE WHEN t.keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+           FROM read_parquet('$golden/turns_sf001_golden.parquet') t
+           JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id)
+           GROUP BY b.bucket ORDER BY b.bucket""",
       "q13_langid" ->
         s"""SELECT doc_id, pred_lang
            FROM read_parquet('$golden/docs_sf001_golden.parquet')
