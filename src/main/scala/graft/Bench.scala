@@ -27,6 +27,12 @@ import org.apache.spark.sql.SparkSession
   * driver capture recorded a 29.6 s spike on a query that re-ran at
   * 0.6 s). Default is 2 so the unattended driver capture gets the
   * protection; set 1 for the fastest single-pass iteration loop.
+  *
+  * Noise sentinel: "sentinel":[start,middle,end] times one tiny fixed
+  * control query (q01 at sf0.001) at three points in the battery. A
+  * sentinel spread (max/min) beyond ~2× means the capture overlapped a
+  * host noise burst — treat the battery total as an upper bound and
+  * re-run (README.md "Benchmark noise" for the full interpretation rule).
   */
 object Bench {
 
@@ -102,11 +108,33 @@ object Bench {
       catch { case _: Throwable => }
     }
 
+    // NOISE SENTINEL: the same tiny fixed control query timed at battery
+    // start, middle, and end. The three times measure the HOST, not the
+    // operators — a capture whose sentinel spread (max/min) exceeds ~2×
+    // ran during a noisy-neighbor burst and self-identifies as
+    // contaminated (round 3's q08–q13 adjudication needed a judge re-run
+    // to establish exactly this). Interpretation rule in README.md.
+    val sentinelDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    def sentinel(): Double = {
+      val t0 = System.nanoTime()
+      try force(SparkEntry.queries("q01_report_agg")(spark, sentinelDir))
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val selectedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
-      .map { case (name, fn) =>
+    sentinels += sentinel()
+    val mid = selectedQueries.size / 2
+    val results = selectedQueries.zipWithIndex
+      .map { case ((name, fn), i) =>
+        if (i == mid && i > 0) sentinels += sentinel()
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var rep = 0
         while (rep < reps && !errors.contains(name)) {
@@ -125,6 +153,7 @@ object Bench {
         // of the query's true cost on this host
         name -> times.min
       }
+    sentinels += sentinel()
 
     // flagship throughput: full pipeline over the sf-scaled synthetic table,
     // staged to parquet first (untimed) — production reads a table scan
@@ -159,8 +188,9 @@ object Bench {
       .map { case (k, v) => s""""${jstr(k)}":"${jstr(v)}"""" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
+    val sentJson = sentinels.map(t => f"$t%.3f").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"spreads":$spreadJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"spreads":$spreadJson,"sentinel":$sentJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(

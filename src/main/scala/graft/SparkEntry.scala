@@ -56,6 +56,35 @@ object SparkEntry {
     }.as[graft.model.Turn]
   }
 
+  /** Session-scoped scratch root (persisted IVF index, q31 output tree):
+    * one directory per application under `spark.graft.scratchDir` (default
+    * the JVM temp dir), addressed and DELETED through the Hadoop FS API —
+    * the same code serves file:// here and s3a:// on a cluster, and a
+    * reps=N bench leaves zero stray graft_ivf_ / graft_q31_ trees (the
+    * earlier per-invocation java.nio temp dirs accumulated forever). */
+  private val scratchHooks =
+    new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+  private def scratchPath(s: SparkSession, name: String): String = {
+    val base = s.conf.get("spark.graft.scratchDir",
+      sys.props("java.io.tmpdir").stripSuffix("/"))
+    val appRoot = s"$base/graft_scratch_${s.sparkContext.applicationId}"
+    scratchHooks.computeIfAbsent(appRoot, root => {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          val hp = new org.apache.hadoop.fs.Path(root)
+          // fresh Configuration: the SparkContext is stopping by now
+          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .delete(hp, true)
+          ()
+        } catch { case _: Throwable => () }
+      }))
+      true
+    })
+    s"$appRoot/$name"
+  }
+  private def sanitize(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
   /** Per-(SparkContext, input) persisted IVF index (build → write
     * partitioned by list_id), staged once like [[synthTurns]]: the build is
     * input preparation, the operator under test is the pruned probe. */
@@ -67,7 +96,7 @@ object SparkEntry {
       _ => {
         val emb = t(s, dir, "embeddings")
         val index = graft.sim.Ivf.train(s, emb, k = 32)
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+        val p = scratchPath(s, "ivf_" + sanitize(dir))
         graft.sim.Ivf.writeIndex(s, emb, index, p)
         p
       })
@@ -768,8 +797,14 @@ object SparkEntry {
         .groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
-      val exact = d0.join(minIds, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true) // read by 4 downstream stages
+      // stage counts RIDE the jobs that already traverse each stage via
+      // observe() (the CheckpointedRun pattern) — the earlier three
+      // count-agg cross-joins each paid a separate barrier job over
+      // checkpointed state (VERDICT r3 finding #3)
+      val obsExact = org.apache.spark.sql.Observation()
+      val exact = graft.run.Materialize.pin( // read by 4 downstream stages
+        d0.join(minIds, Seq("doc_id"), "left_semi")
+          .observe(obsExact, count(lit(1)).as("n")))
       // stage 2: near-dup pair graph → connected groups → representatives
       val pairs = graft.dedup.NgramJaccard
         .similarPairs(s, exact.select(col("doc_id").as("id"), col("text")),
@@ -778,8 +813,10 @@ object SparkEntry {
       val reps = graft.dedup.DupGroups
         .components(s, pairs, exact.select(col("doc_id").as("id")))
         .filter(col("keep")).select(col("id").as("doc_id"))
-      val dd = exact.join(reps, Seq("doc_id"), "left_semi")
-        .localCheckpoint(true) // read by decontaminate + anti-join
+      val obsDd = org.apache.spark.sql.Observation()
+      val dd = graft.run.Materialize.pin( // read by decontaminate + anti-join
+        exact.join(reps, Seq("doc_id"), "left_semi")
+          .observe(obsDd, count(lit(1)).as("n")))
       // stage 3: decontamination — "benchmark" = the deterministic
       // doc_id % 41 == 0 slice of the survivors; any doc sharing a word
       // 3-gram with it (the slice itself included) is removed
@@ -787,7 +824,11 @@ object SparkEntry {
       val dirty = graft.dedup.Decontaminate
         .contaminated(s, dd, bench, "doc_id", "text", n = 3)
         .select(col("doc_id"))
+      val obsCl = org.apache.spark.sql.Observation()
+      // the clean-stage count rides the Mixture weights aggregation (the
+      // next full traversal of cl) — no extra job
       val cl = dd.join(dirty, Seq("doc_id"), "left_anti")
+        .observe(obsCl, count(lit(1)).as("n"))
       // stages 4-6: mixture → interleave → pack
       val weights = graft.sample.Mixture
         .weights(cl, col("source"), col("n_chars"), alpha = 0.5)
@@ -802,11 +843,14 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("sum_tokens"),
           min(col("interleave_rank")).as("min_rank"))
-      // stage counts ride as constant columns (1-row broadcast cross joins)
+      // the pins and the weights aggregation have all executed by now, so
+      // every stage count is available as a plain literal column
+      def obsCount(o: org.apache.spark.sql.Observation): Long =
+        o.get("n").asInstanceOf[Long]
       val out = manifest
-        .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
-        .crossJoin(broadcast(dd.agg(count(lit(1)).as("n_dedup"))))
-        .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_clean"))))
+        .withColumn("n_exact", lit(obsCount(obsExact)))
+        .withColumn("n_dedup", lit(obsCount(obsDd)))
+        .withColumn("n_clean", lit(obsCount(obsCl)))
         .orderBy("source", "bin")
         // materialize the (tiny) manifest so the two intermediate
         // checkpoints can be released — without this, every invocation
@@ -820,7 +864,14 @@ object SparkEntry {
 
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_q31_").toString
+      // ONE reused per-session tree (removed by the scratch shutdown hook),
+      // cleared before each run — a resumable re-run over the committed
+      // manifest would otherwise bench the no-op resume path, not the
+      // operator, and a reps=N bench would leave N full output trees
+      val out = scratchPath(s, "q31_" + sanitize(dir))
+      val hp = new org.apache.hadoop.fs.Path(out)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) fs.delete(hp, true)
       graft.run.CheckpointedRun.run(s, synthTurns(s, dir), out, nBuckets = 16)
       graft.run.CheckpointedRun.metrics(s, out)
         .select(col("bucket"), col("rows"), col("kept"))

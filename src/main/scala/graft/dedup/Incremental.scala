@@ -36,6 +36,16 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Incremental {
 
+  /** The Bloom probe is `mightContainLong` over a primitive-Long UDF: a
+    * non-bigint hash column (e.g. a hex-string hash, which [[buildFilter]]
+    * happily accepts) would be implicitly cast to null and silently dropped
+    * from BOTH filter branches. Fail fast instead. */
+  private def requireLongHash(df: DataFrame, hashCol: String, side: String): Unit = {
+    val dt = df.schema(hashCol).dataType
+    require(dt == org.apache.spark.sql.types.LongType,
+      s"$side hash column '$hashCol' must be BIGINT (xxhash64-style), got $dt")
+  }
+
   /** Rows of `batch` whose `hash` value does not occur in `existing`'s
     * `hash` column. Exact (Bloom is only a prefilter).
     *
@@ -53,6 +63,7 @@ object Incremental {
       fpp: Double = 0.01
   ): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    requireLongHash(existing, hashCol, "existing")
     val bf = buildFilter(existing, hashCol, expectedItems, fpp)
     newRowsWithFilter(spark, batch, existing, hashCol, bf)
   }
@@ -86,6 +97,8 @@ object Incremental {
       bf: BloomFilter,
       maxBroadcastBytes: Long = 64L << 20
   ): DataFrame = {
+    requireLongHash(batch, hashCol, "batch")
+    requireLongHash(existing, hashCol, "existing")
     val bfB = spark.sparkContext.broadcast(bf)
     val might = udf((h: Long) => bfB.value.mightContainLong(h))
 

@@ -1,0 +1,74 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Materialization ("pinning") policy for multi-job operators.
+  *
+  * The rank/prefix-sum machinery ([[graft.sample.EpochShuffle]],
+  * [[graft.sample.GroupedRank]], and their Pack/Interleave/capstone callers)
+  * must freeze a `repartitionByRange` stage so that every later job observes
+  * the SAME partition assignment (range boundaries are re-sampled per
+  * execution — re-evaluating the lazy exchange could put boundary rows in a
+  * different partition than the one their offsets were computed on).
+  *
+  * Two pinning modes:
+  *
+  *   - default: `localCheckpoint(eager = true)` — zero-copy executor-local
+  *     blocks. Fastest, but the blocks have NO recompute path: an executor
+  *     lost between the offsets job and the final join aborts the query.
+  *     Right for local mode and gang-scheduled clusters.
+  *   - `spark.graft.checkpointDir` set (e.g. to an HDFS/s3a path): reliable
+  *     `checkpoint(eager = true)` — the stage is written to the fault-tolerant
+  *     FS and any lost partition is re-read instead of aborting. The mode for
+  *     100-TB clusters with preemptible executors, at the cost of one DFS
+  *     round-trip. Set `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+  *     to garbage-collect checkpoint files with their DataFrames.
+  *
+  * The conf is read per call, so one session can switch modes between
+  * queries (tests pin it per-mode and assert rank equality).
+  */
+object Materialize {
+
+  val ConfKey = "spark.graft.checkpointDir"
+
+  /** Materialize `df` under the session's pinning policy (see object doc). */
+  def pin(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val dir = spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
+    dir match {
+      case Some(d) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir appends a per-call UUID subdir — only (re)set when
+        // the configured base changed, or every pin would open a new subdir
+        if (!sc.getCheckpointDir.exists(_.contains(d)))
+          sc.setCheckpointDir(d)
+        df.checkpoint(eager = true)
+      case None =>
+        df.localCheckpoint(eager = true)
+    }
+  }
+
+  /** Input row for [[SumByKey]]: an opaque string key and a weight. */
+  final case class KeyedWeight(k: String, w: Long)
+
+  /** Map-typed sum-by-key aggregate for `observe()` — lets a single
+    * materialization job carry per-(partition, group) row counts or weight
+    * sums as a CollectMetrics side channel instead of paying a second
+    * traversal of the pinned stage. Buffer size is |distinct keys seen by
+    * the task| — for the rank machinery that is bounded by |partitions| +
+    * |groups| (group runs are contiguous under range partitioning), never
+    * by row count. */
+  object SumByKey extends Aggregator[KeyedWeight, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(m: Map[String, Long], r: KeyedWeight): Map[String, Long] =
+      m.updated(r.k, m.getOrElse(r.k, 0L) + r.w)
+    def merge(a: Map[String, Long], b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k, v)) => m.updated(k, m.getOrElse(k, 0L) + v) }
+    def finish(m: Map[String, Long]): Map[String, Long] = m
+    def bufferEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    def outputEncoder: org.apache.spark.sql.Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+}

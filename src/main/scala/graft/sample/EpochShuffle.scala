@@ -1,8 +1,10 @@
 package graft.sample
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.run.Materialize
 
 /** Deterministic EPOCH SHUFFLE for training-data writers: every row gets a
   * pseudorandom but reproducible global rank, so the corpus can be
@@ -20,9 +22,10 @@ import org.apache.spark.sql.functions._
   *      ascending partition ids);
   *   2. `row_number` windowed BY PARTITION ID — each task sorts only its
   *      own slice;
-  *   3. per-partition row counts (a count-by-pid aggregate, |partitions|
-  *      rows to the driver) become cumulative offsets, broadcast-joined
-  *      back: rank = offset(pid) + local row_number.
+  *   3. per-partition row counts (|partitions| entries, carried by the
+  *      pinning job itself via `observe()` — no second traversal) become
+  *      cumulative offsets, broadcast-joined back:
+  *      rank = offset(pid) + local row_number.
   */
 object EpochShuffle {
 
@@ -48,8 +51,8 @@ object EpochShuffle {
   }
 
   /** The pre-materialization range-partitioned stage — separate so the
-    * plan audit can assert the range exchange that [[rank]]'s
-    * localCheckpoint otherwise hides behind a Scan ExistingRDD. */
+    * plan audit can assert the range exchange that [[rank]]'s pinning
+    * otherwise hides behind a Scan ExistingRDD. */
   private[graft] def keyedStage(
       df: DataFrame, key: Column, tie: Column, p: Int): DataFrame =
     df.withColumn("_sk", key)
@@ -69,33 +72,39 @@ object EpochShuffle {
     val p =
       if (numPartitions > 0) numPartitions
       else spark.sparkContext.defaultParallelism
-    // MATERIALIZED (localCheckpoint) because two separate jobs read it —
-    // the offsets collect and the final join. repartitionByRange samples
-    // boundaries per execution, so re-evaluating the lazy exchange in the
-    // second job could assign boundary rows to different partitions than
-    // the ones the offsets were counted on (duplicate/missing ranks).
-    // Pinning the partitioning is what any zipWithIndex-style global rank
-    // fundamentally requires. NOTE: localCheckpoint blocks live only on
-    // executors — an executor lost between the two jobs aborts the query
-    // (no recompute path). A production cluster with preemptible nodes
-    // should swap in a reliable checkpoint (sc.setCheckpointDir +
-    // .checkpoint()) at the cost of a DFS round-trip.
-    val keyed = keyedStage(df, key, tie, p).localCheckpoint(true)
+    // PINNED (Materialize.pin) because two separate jobs read it — this
+    // materialization (which carries the per-partition counts via observe)
+    // and the final join. repartitionByRange samples boundaries per
+    // execution, so re-evaluating the lazy exchange in the second job could
+    // assign boundary rows to different partitions than the ones the
+    // offsets were counted on (duplicate/missing ranks). Pinning the
+    // partitioning is what any zipWithIndex-style global rank fundamentally
+    // requires. Default pinning is localCheckpoint (executor-local blocks,
+    // no recompute path — an executor lost between the jobs aborts the
+    // query); set spark.graft.checkpointDir to pin to a reliable FS
+    // instead, so preemptible-node clusters recompute rather than abort.
+    val obs = Observation()
+    val sumByKey = udaf(Materialize.SumByKey)
+    val keyed = Materialize.pin(
+      keyedStage(df, key, tie, p)
+        .observe(obs,
+          sumByKey(col("_pid").cast("string"), lit(1L)).as("cmap")))
 
     val local = keyed.withColumn(
       "_rn",
       row_number().over(
         Window.partitionBy("_pid").orderBy(col("_sk"), tie)))
 
-    // |partitions| rows: cumulative offsets on the driver
-    val counts = local.groupBy("_pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    // |partitions| entries, carried by the pinning job: cumulative offsets
+    val counts = obs.get("cmap")
+      .asInstanceOf[scala.collection.Map[String, Long]]
+      .toSeq.map { case (k, n) => (k.toInt, n) }.sortBy(_._1)
     var acc = 0L
     val offsets = counts.map { case (pid, n) =>
       val o = acc; acc += n; (pid, o)
     }
     import spark.implicits._
-    val offDf = offsets.toSeq.toDF("_pid", "_off")
+    val offDf = offsets.toDF("_pid", "_off")
 
     local
       .join(broadcast(offDf), "_pid")

@@ -274,6 +274,18 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     reloaded.mergeInPlace(Incremental.buildFilter(increment, "h", 4000L, 0.01))
     val missed = increment.as[Long].collect().count(h => !reloaded.mightContainLong(h))
     assert(missed === 0, "merged filter must cover the increment (no false negatives)")
+
+    // a non-bigint hash column would be implicitly cast to null by the
+    // Bloom-probe UDF and its rows silently dropped from both branches —
+    // the operator must reject it upfront instead
+    val hexBatch = batch.select(col("id"), hex(col("h")).as("h"))
+    intercept[IllegalArgumentException] {
+      Incremental.newRows(spark, hexBatch, existing, "h", expectedItems = 50)
+    }
+    intercept[IllegalArgumentException] {
+      Incremental.newRowsWithFilter(spark, batch,
+        existing.select(hex(col("h")).as("h")), "h", bf)
+    }
   }
 
   test("thresholdPairs: exact cosine pair join equals driver brute force, chunked") {

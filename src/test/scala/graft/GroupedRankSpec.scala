@@ -137,6 +137,73 @@ class GroupedRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("rank/prefixSum/EpochShuffle identical across pinning modes " +
+    "(localCheckpoint vs reliable checkpoint)") {
+    import spark.implicits._
+    import graft.run.Materialize
+    import graft.sample.EpochShuffle
+    val docs = mkDocs
+    def runAll(): (Seq[(Long, Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)]) = {
+      val r = GroupedRank.rank(spark, docs, col("source"), Seq(col("score"), col("id")))
+        .select(col("id"), col("group_rank"), col("group_count"))
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val p = GroupedRank.prefixSum(spark, docs, col("source"), Seq(col("id")), col("score"))
+        .select(col("id"), col("group_prefix_sum"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val e = EpochShuffle.rank(spark, docs, EpochShuffle.lcgKey(col("id"), 3L), col("id"))
+        .select(col("id"), col("shuffle_rank"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      (r, p, e)
+    }
+    val base = runAll()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    spark.conf.set(Materialize.ConfKey, dir)
+    try {
+      assert(runAll() === base)
+      // the reliable mode actually wrote checkpoint state to the configured dir
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir")
+    } finally {
+      spark.conf.unset(Materialize.ConfKey)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("non-JSON-stable group keys (double) take the fallback path, same results") {
+    import spark.implicits._
+    assert(!GroupedRank.jsonStableKey(org.apache.spark.sql.types.DoubleType))
+    assert(!GroupedRank.jsonStableKey(org.apache.spark.sql.types.TimestampType))
+    assert(GroupedRank.jsonStableKey(org.apache.spark.sql.types.StringType))
+    // -0.0 and 0.0 group as EQUAL under Spark grouping — the case the JSON
+    // surrogate cannot represent and the fallback must get right
+    val df = Seq(
+      (1L, 0.0), (2L, -0.0), (3L, 1.5), (4L, 1.5), (5L, Double.NaN), (6L, Double.NaN))
+      .toDF("id", "g").repartition(3)
+    val got = GroupedRank.rank(spark, df, col("g"), Seq(col("id")))
+      .select(col("id"), col("group_rank"), col("group_count"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    val w = Window.partitionBy("g").orderBy("id")
+    val want = df
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("g")))
+      .select(col("id"), col("rn"), col("cnt"))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got === want)
+  }
+
+  test("inputs already carrying output column names are rejected upfront") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 2L)).toDF("id", "source", "group_rank")
+    intercept[IllegalArgumentException] {
+      GroupedRank.rank(spark, df, col("source"), Seq(col("id")))
+    }
+    val df2 = Seq((1L, "a", 2L)).toDF("id", "source", "group_prefix_sum")
+    intercept[IllegalArgumentException] {
+      GroupedRank.prefixSum(spark, df2, col("source"), Seq(col("id")), col("id"))
+    }
+  }
+
   test("GroupedTopK ascending mode returns the k smallest") {
     import spark.implicits._
     val docs = mkDocs.filter(col("source").isNotNull)

@@ -173,6 +173,42 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"whole-group window detected:\n${windows.mkString("\n")}")
   }
 
+  test("grouped rank offsets ride the pinning job — ONE pass over the keyed data") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+      .localCheckpoint(true) // isolate: input staging jobs don't count
+    val dfDouble = df.withColumn("gd", col("source").substr(2, 1).cast("double"))
+
+    def jobsDuring(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(800) } // drain async listener events
+      finally spark.sparkContext.removeSparkListener(listener)
+      n.get()
+    }
+    // building rank() (NOT consuming it) runs the pin + offsets machinery;
+    // the single-pass path must save exactly the explicit counts job the
+    // fallback (double-key) path still pays
+    val single = jobsDuring {
+      graft.sample.GroupedRank.rank(
+        spark, df, col("source"), Seq(col("doc_id")), numPartitions = 4); ()
+    }
+    val fallback = jobsDuring {
+      graft.sample.GroupedRank.rank(
+        spark, dfDouble, col("gd"), Seq(col("doc_id")), numPartitions = 4); ()
+    }
+    // AQE can split the explicit counts aggregation into more than one job,
+    // so assert strict savings rather than an exact delta
+    assert(single < fallback,
+      s"single-pass ran $single jobs vs fallback $fallback — the observe-" +
+        "carried offsets must save the counts traversal")
+  }
+
   test("grouped top-k: map-side heaps bound the shuffle to survivor rows") {
     import spark.implicits._
     // ~20k rows with a fat payload; survivors are |sources|·k·|partitions|
