@@ -328,14 +328,14 @@ object SparkEntry {
         minCosine = 0.98).orderBy("id_a", "id_b")
     }),
 
-    // multimodal: synth binary media → stub-decode meta → aggregate with the
-    // binary column projected away before the shuffle
+    // multimodal: synth real BMP/WAV/Y4M containers → header-walk decode →
+    // aggregate with the binary column projected away before the shuffle
     "q22_media_meta" -> ((s, dir) => {
       val n = math.max(300L, (sfOf(dir) * 30000).toLong)
       graft.multimodal.Media.metaSummary(graft.multimodal.Media.synthesize(s, n))
     }),
 
-    // multimodal: stub feature extraction feeding exact ANN top-k
+    // multimodal: decoded-sample signal features feeding exact ANN top-k
     "q23_media_ann" -> ((s, dir) => {
       import s.implicits._
       val n = math.max(300L, (sfOf(dir) * 30000).toLong)
@@ -1070,6 +1070,17 @@ object SparkEntry {
         s"""SELECT doc_id, n_fingerprints, min_fp
            FROM read_parquet('$golden/winnow_sf001.parquet')
            ORDER BY doc_id""",
+      // replays metaSummary over the committed per-media metadata golden —
+      // generated by an INDEPENDENT Python re-parse of the actual BMP/WAV/
+      // Y4M byte layouts (tools/gen_media_golden.py over GoldenMedia's
+      // byte dump); Spark's distributed decode must aggregate identically
+      "q22_media_meta" ->
+        s"""SELECT kind, count(*) AS n,
+            cast(sum(payloadBytes) as bigint) AS total_payload,
+            avg(width) AS avg_width,
+            max(nFrames) AS max_frames
+           FROM read_parquet('$golden/media_meta_sf001.parquet')
+           GROUP BY kind ORDER BY kind""",
       "q26_uax29_words" ->
         s"""SELECT doc_id, n_words_uax29
            FROM read_parquet('$golden/uax29_sf001.parquet')

@@ -108,7 +108,7 @@ object QualityFilter {
         .repartition(nPart, col("conv_id"))
         .sortWithinPartitions(col("conv_id"), col("turn_idx"))
     // Error-tolerant mode (the reference's per-row error side-channel,
-    // src/CorpusAid.py:2483-2500, generalized from Media.decodeStub's
+    // src/CorpusAid.py:2483-2500, generalized from Media.decode's
     // valid=false shape): every per-turn stage runs inside one total UDF;
     // a row whose stage throws — pathological user regex blowing the
     // matcher stack, a future codec error — lands with an `error` string
