@@ -1066,6 +1066,19 @@ object SparkEntry {
         s"""SELECT doc_id, simhash64
            FROM read_parquet('$golden/simhash_sf001.parquet')
            ORDER BY doc_id""",
+      // pair lists re-derived by an INDEPENDENT Python implementation of the
+      // full sketch chains (tools/gen_pairs_golden.py: XXH64 ids, OPH
+      // minhash + banding + caps, SimHash + Manku blocks) over the dumped
+      // corpus — the distributed buckets/caps/first-collision machinery
+      // must reproduce them exactly
+      "q16_minhash_pairs" ->
+        s"""SELECT id_a, id_b, jaccard
+           FROM read_parquet('$golden/minhash_pairs_sf001.parquet')
+           ORDER BY id_a, id_b""",
+      "q18_simhash_pairs" ->
+        s"""SELECT id_a, id_b, hamming
+           FROM read_parquet('$golden/simhash_pairs_sf001.parquet')
+           ORDER BY id_a, id_b""",
       "q24_winnow_fingerprints" ->
         s"""SELECT doc_id, n_fingerprints, min_fp
            FROM read_parquet('$golden/winnow_sf001.parquet')
