@@ -317,6 +317,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         "exchange must carry possible-duplicates only")
   }
 
+  test("decontaminate shuffle fallback: gram-scale exchanges only, no documents") {
+    import spark.implicits._
+    // fat documents (~1 KB each) whose gram sets are tiny relative to the
+    // text: if the fallback ever exchanged documents (or doc×gram blowup),
+    // the byte bound below trips
+    val words = (0 until 40).map(i => s"w$i")
+    val r = new graft.gen.TranscriptGen.Rng(424242L)
+    val corpus = (0L until 2000L).map { i =>
+      val body = (0 until 150).map(_ => words(r.nextInt(words.size))).mkString(" ")
+      (i, body)
+    }.toDF("doc_id", "text").localCheckpoint(true)
+    val bench = (0L until 50L).map { _ =>
+      (0 until 30).map(_ => words(r.nextInt(words.size))).mkString(" ")
+    }.toDF("text").localCheckpoint(true)
+
+    // baseline: the corpus' exploded gram bytes — the ONLY corpus-sized
+    // thing the shuffled-join fallback is allowed to exchange
+    val gramBytes = graft.text.Ngrams
+      .explodeNgrams(corpus, "doc_id", "text", 3)
+      .agg(sum(octet_length(col("gram")) + lit(8))).head().getLong(0)
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    val viaBroadcast = graft.dedup.Decontaminate
+      .contaminated(spark, corpus, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val fallback = graft.dedup.Decontaminate
+      .contaminated(spark, corpus, bench, "doc_id", "text", n = 3,
+        broadcastBenchmark = false)
+    val plan = executedPlan(fallback)
+    spark.sparkContext.addSparkListener(listener)
+    val viaShuffle =
+      try {
+        val m = fallback.as[(Long, Long)].collect().toMap
+        Thread.sleep(1000)
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+
+    assert(viaShuffle === viaBroadcast, "fallback must be result-identical")
+    // documents never cross an exchange in the fallback either
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("text#")),
+      s"document text crosses an exchange:\n${exchanges.mkString("\n")}")
+    // every exchange is gram-scale: the probe-side join shuffle plus the
+    // survivor-only dedup/aggregate exchanges — compressed on the wire, so
+    // 2.5x the raw gram bytes is a generous ceiling that still catches a
+    // doc-text or doc×gram-blowup exchange (the corpus is ~2 MB of text;
+    // a cartesian-ish regression is 10-100x the bound)
+    assert(shuffleWrite.get() < (2.5 * gramBytes).toLong,
+      s"fallback shuffled ${shuffleWrite.get()} bytes vs gram baseline " +
+        s"$gramBytes — exchanges must stay gram/survivor-scale")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one KEY with 10k distinct rows (a mega-conversation: same conv_id,

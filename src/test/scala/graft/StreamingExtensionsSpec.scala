@@ -228,6 +228,45 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(rows.length === got.size)
   }
 
+  test("sessionization state compaction: a never-gapping session survives " +
+    "watermark advances intact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.SessEvent
+
+    // ONE open session of 60 events at 5-min spacing (never a 30-min gap),
+    // delivered in 6 batches so the watermark advances DEEP into the open
+    // session each time — every batch compacts the prior events below the
+    // watermark into the (n, start, last) head. A lost or double-counted
+    // event in the head-merge logic shows up in n_events/start/end.
+    val base = Timestamp.valueOf("2026-03-01 08:00:00").getTime
+    val events = (0 until 60).map { i =>
+      SessEvent(7L, new Timestamp(base + i * 5L * 60 * 1000), 100L + i)
+    }
+    val input = MemoryStream[SessEvent]
+    val query = StreamingSessionize(input.toDS(), lateness = "10 minutes")
+      .writeStream.format("memory").queryName("sessions_compact")
+      .outputMode("append").start()
+    try {
+      events.grouped(10).foreach { batch =>
+        input.addData(batch)
+        query.processAllAvailable()
+      }
+      assert(spark.table("sessions_compact").count() === 0,
+        "session is still open — nothing may be emitted yet")
+      // a far-future event closes it (and starts session 2, still open)
+      input.addData(Seq(SessEvent(7L, new Timestamp(base + 24L * 3600 * 1000), 999L)))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("sessions_compact")
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((7L, 1L, 60L, base * 1000L,
+      (base + 59L * 5 * 60 * 1000) * 1000L)))
+  }
+
   test("optimizer rule: identity-config CleanText elides at plan time") {
     import spark.implicits._
     graft.GraftExtensions.register(spark)
