@@ -1079,6 +1079,27 @@ object SparkEntry {
         s"""SELECT id_a, id_b, hamming
            FROM read_parquet('$golden/simhash_pairs_sf001.parquet')
            ORDER BY id_a, id_b""",
+      // similarity-search goldens re-derived by tools/gen_ann_golden.py —
+      // an independent Python implementation of the full chains (seeded
+      // hyperplanes, signatures, multi-probe buckets, canonical-probe
+      // dedup, deterministic k-means, media feature extraction, exact
+      // cosine top-k) with IEEE arithmetic replicated op-for-op
+      "q20_ann_lsh" ->
+        s"""SELECT query_id, vec_id, score, rank
+           FROM read_parquet('$golden/ann_lsh_sf001.parquet')
+           ORDER BY query_id, rank""",
+      "q21_embed_neardup" ->
+        s"""SELECT id_a, id_b, cosine
+           FROM read_parquet('$golden/embed_neardup_sf001.parquet')
+           ORDER BY id_a, id_b""",
+      "q34_ann_ivf" ->
+        s"""SELECT query_id, vec_id, score, rank
+           FROM read_parquet('$golden/ann_ivf_sf001.parquet')
+           ORDER BY query_id, rank""",
+      "q23_media_ann" ->
+        s"""SELECT query_id, vec_id, score, rank
+           FROM read_parquet('$golden/media_ann_sf001.parquet')
+           ORDER BY query_id, rank""",
       "q24_winnow_fingerprints" ->
         s"""SELECT doc_id, n_fingerprints, min_fp
            FROM read_parquet('$golden/winnow_sf001.parquet')
