@@ -124,6 +124,11 @@ object Bench {
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
+    // the sentinel measures the HOST, so its own one-time costs (first-call
+    // plan compilation, parquet footer cache) must not land in the first
+    // timed reading — with SPARK_GRAFT_NO_WARMUP=1 they would make the
+    // start/middle spread self-trigger the >2x noise rule
+    sentinel()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]

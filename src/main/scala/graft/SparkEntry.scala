@@ -69,12 +69,16 @@ object SparkEntry {
       sys.props("java.io.tmpdir").stripSuffix("/"))
     val appRoot = s"$base/graft_scratch_${s.sparkContext.applicationId}"
     scratchHooks.computeIfAbsent(appRoot, root => {
+      // snapshot the SESSION's Hadoop conf now — a fresh Configuration()
+      // at hook time would lack the spark.hadoop.* settings (s3a
+      // credentials etc.) and the remote delete would silently fail,
+      // re-creating the very leak this root exists to prevent
+      val hadoopConf = new org.apache.hadoop.conf.Configuration(
+        s.sparkContext.hadoopConfiguration)
       Runtime.getRuntime.addShutdownHook(new Thread(() => {
         try {
           val hp = new org.apache.hadoop.fs.Path(root)
-          // fresh Configuration: the SparkContext is stopping by now
-          hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .delete(hp, true)
+          hp.getFileSystem(hadoopConf).delete(hp, true)
           ()
         } catch { case _: Throwable => () }
       }))

@@ -63,6 +63,10 @@ object Incremental {
       fpp: Double = 0.01
   ): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp in (0,1), got $fpp")
+    // validate BOTH sides before the Bloom build: a bad batch column
+    // rejected only inside newRowsWithFilter would waste the full
+    // existing-corpus scan that buildFilter runs first
+    requireLongHash(batch, hashCol, "batch")
     requireLongHash(existing, hashCol, "existing")
     val bf = buildFilter(existing, hashCol, expectedItems, fpp)
     newRowsWithFilter(spark, batch, existing, hashCol, bf)

@@ -178,41 +178,51 @@ object Media {
     val biSize = le32(b, 14)
     val w = le32(b, 18)
     val hRaw = le32(b, 22)
-    val h = math.abs(hRaw) // negative height = top-down rows
+    // LONG abs: abs(Int.MinValue) stays negative in Int and would slip
+    // through the h check; all derived sizes computed in Long so a huge
+    // declared width cannot wrap the bounds arithmetic
+    val h = math.abs(hRaw.toLong) // negative height = top-down rows
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (biSize < 40 || w <= 0 || h == 0 || bpp != 24 || compression != 0)
+    if (biSize < 40 || w <= 0 || h <= 0 || bpp != 24 || compression != 0)
       return invalid(b)
-    val rowSize = (3 * w + 3) / 4 * 4
+    val rowSize = (3L * w + 3) / 4 * 4
     // header must be in bounds and the file must hold every pixel row
     if (dataOffset < 54 || dataOffset > b.length ||
-      b.length - dataOffset < rowSize.toLong * h) return invalid(b)
-    MediaMeta("image", w, h, 1, 3 * w * h, valid = true)
+      b.length - dataOffset < rowSize * h) return invalid(b)
+    // bounded by the buffer (checked above), so the Int narrowing is safe
+    MediaMeta("image", w, h.toInt, 1, (3L * w * h).toInt, valid = true)
   }
 
   private def decodeWav(b: Array[Byte]): MediaMeta = {
     if (b.length < 12 || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return invalid(b)
-    // chunk walk: fmt (rate, channels, bits) then data (sample bytes)
-    var off = 12
+    // chunk walk: fmt (rate, channels, bits) then data (sample bytes).
+    // Offsets and sizes are LONG (size read as unsigned-32): a declared
+    // chunk size near 2^31 would otherwise wrap `off + 8 + size` negative,
+    // pass the bounds check, and index out of bounds on the next iteration
+    var off = 12L
     var rate = 0; var blockAlign = 0; var fmtOk = false
-    var dataLen = -1
+    var dataLen = -1L
     while (off + 8 <= b.length && (!fmtOk || dataLen < 0)) {
-      val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return invalid(b)
-      val isFmt = b(off) == 'f' && b(off + 1) == 'm' && b(off + 2) == 't' && b(off + 3) == ' '
-      val isData = b(off) == 'd' && b(off + 1) == 'a' && b(off + 2) == 't' && b(off + 3) == 'a'
+      val o = off.toInt
+      val size = le32(b, o + 4).toLong & 0xffffffffL
+      if (off + 8 + size > b.length) return invalid(b)
+      val isFmt = b(o) == 'f' && b(o + 1) == 'm' && b(o + 2) == 't' && b(o + 3) == ' '
+      val isData = b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a'
       if (isFmt && size >= 16) {
-        val audioFormat = le16(b, off + 8)
-        rate = le32(b, off + 12)
-        blockAlign = le16(b, off + 20)
+        val audioFormat = le16(b, o + 8)
+        rate = le32(b, o + 12)
+        blockAlign = le16(b, o + 20)
         fmtOk = audioFormat == 1 && rate > 0 && blockAlign > 0
         if (!fmtOk) return invalid(b)
       } else if (isData) dataLen = size
       off += 8 + size + (size & 1) // RIFF chunks are word-aligned
     }
     if (!fmtOk || dataLen < 0) return invalid(b)
-    MediaMeta("audio", rate, dataLen / blockAlign, 0, dataLen, valid = true)
+    // dataLen proved <= b.length above, so the Int narrowing is safe
+    MediaMeta("audio", rate, (dataLen / blockAlign).toInt, 0, dataLen.toInt,
+      valid = true)
   }
 
   private def decodeY4m(b: Array[Byte]): MediaMeta = {
@@ -231,22 +241,25 @@ object Media {
       ti += 1
     }
     if (w <= 0 || h <= 0 || w % 2 != 0 || h % 2 != 0) return invalid(b)
-    val frameSize = w * h * 3 / 2
-    var off = eol + 1
+    // LONG frame size: W30000 H30000 would wrap the Int product negative,
+    // pass the remaining-bytes guard, and drive `off` out of bounds
+    val frameSize = w.toLong * h * 3 / 2
+    var off = (eol + 1).toLong
     var nFrames = 0
     val F = "FRAME".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     while (off < b.length) {
       if (off + F.length > b.length ||
-        !(0 until F.length).forall(i => b(off + i) == F(i))) return invalid(b)
+        !(0 until F.length).forall(i => b(off.toInt + i) == F(i))) return invalid(b)
       // frame header params (rare) run to the newline
-      var p = off + F.length
+      var p = off.toInt + F.length
       while (p < b.length && b(p) != '\n') p += 1
       if (p >= b.length || b.length - (p + 1) < frameSize) return invalid(b)
       nFrames += 1
       off = p + 1 + frameSize
     }
     if (nFrames == 0) return invalid(b)
-    MediaMeta("video", w, h, nFrames, nFrames * frameSize, valid = true)
+    // nFrames * frameSize proved <= b.length, so Int narrowing is safe
+    MediaMeta("video", w, h, nFrames, (nFrames * frameSize).toInt, valid = true)
   }
 
   /** Parse real BMP/WAV/Y4M byte layouts into typed metadata. Contract:
@@ -328,11 +341,25 @@ object Media {
             b += 1
           }
         }
-      case _ => // video: luma histogram over each frame's Y plane
-        frameSample(content, 1).foreach { f =>
-          val ySize = meta.width * meta.height
+      case _ =>
+        // video: luma histogram over each frame's Y plane, walked IN PLACE
+        // over the already-validated container — going through frameSample
+        // here would re-parse the header and copy every frame's bytes just
+        // to read them once (per-row allocation equal to the payload)
+        val frameSize = meta.width * meta.height * 3 / 2
+        val ySize = meta.width * meta.height
+        var off = content.indexOf('\n'.toByte) + 1
+        var f = 0
+        while (f < meta.nFrames) {
+          var p = off
+          while (content(p) != '\n') p += 1 // skip "FRAME[ params]"
           var i = 0
-          while (i < ySize) { out((f(i) & 0xff) * dim / 256) += 1f; i += 1 }
+          while (i < ySize) {
+            out((content(p + 1 + i) & 0xff) * dim / 256) += 1f
+            i += 1
+          }
+          off = p + 1 + frameSize
+          f += 1
         }
     }
     l2(out)

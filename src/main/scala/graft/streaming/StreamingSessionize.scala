@@ -43,7 +43,12 @@ object StreamingSessionize {
       dur_us: Long
   )
 
-  /** @param pendingUs open-session events not yet below the watermark
+  /** State schema v2 (adds the compacted head) — NOT restore-compatible
+    * with checkpoints written by the pre-compaction shape: drain the query
+    * (watermark past every open session) or discard operator state when
+    * upgrading, as with any flatMapGroupsWithState encoder change.
+    *
+    * @param pendingUs open-session events not yet below the watermark
     * @param headN compacted frozen-prefix event count of the FIRST open
     *              session (0 = no compacted head)
     * @param headStartUs / headLastUs the compacted prefix's start and last

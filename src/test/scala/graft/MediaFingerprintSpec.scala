@@ -66,6 +66,39 @@ class MediaFingerprintSpec extends AnyFunSuite with SparkTestBase {
     assert(!Media.decode(wavLie).valid)
   }
 
+  test("decode rejects Int-overflow header attacks without throwing") {
+    // WAV: junk chunk declaring size 0x7FFFFFF4 — `off + 8 + size` would
+    // wrap negative in Int arithmetic and pass the bounds check
+    val wavWrap = new Array[Byte](20)
+    "RIFF".getBytes.copyToArray(wavWrap, 0)
+    "WAVE".getBytes.copyToArray(wavWrap, 8)
+    "JUNK".getBytes.copyToArray(wavWrap, 12)
+    wavWrap(16) = 0xf4.toByte; wavWrap(17) = 0xff.toByte
+    wavWrap(18) = 0xff.toByte; wavWrap(19) = 0x7f.toByte
+    assert(!Media.decode(wavWrap).valid)
+    // WAV: valid fmt then data size ~2^31 — must not return valid=true
+    // with a payload beyond the buffer
+    val wavBig = Media.writeWav(8000, new Array[Short](16))
+    wavBig(40) = 0x00; wavBig(41) = 0xff.toByte
+    wavBig(42) = 0xff.toByte; wavBig(43) = 0x7f.toByte
+    assert(!Media.decode(wavBig).valid)
+    // Y4M: 30000x30000 frame size wraps the Int product negative
+    val y4mWrap = "YUV4MPEG2 W30000 H30000\nFRAME\n".getBytes("US-ASCII")
+    assert(!Media.decode(y4mWrap).valid)
+    assert(Media.frameSample(y4mWrap, 1).isEmpty)
+    assert(Media.features(y4mWrap).forall(_ == 0f))
+    // BMP: width 715827883 wraps rowSize negative; and height
+    // Int.MinValue survives math.abs in Int arithmetic
+    val bmpWrap = Media.writeBmp(4, 4, new Array[Byte](48))
+    val wBytes = 715827883
+    bmpWrap(18) = wBytes.toByte; bmpWrap(19) = (wBytes >>> 8).toByte
+    bmpWrap(20) = (wBytes >>> 16).toByte; bmpWrap(21) = (wBytes >>> 24).toByte
+    assert(!Media.decode(bmpWrap).valid)
+    val bmpMinH = Media.writeBmp(4, 4, new Array[Byte](48))
+    bmpMinH(22) = 0; bmpMinH(23) = 0; bmpMinH(24) = 0; bmpMinH(25) = 0x80.toByte
+    assert(!Media.decode(bmpMinH).valid)
+  }
+
   test("meta summary drops the binary before the shuffle") {
     import spark.implicits._
     val media = Media.synthesize(spark, 200)
