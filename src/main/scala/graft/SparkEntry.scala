@@ -950,6 +950,14 @@ object SparkEntry {
         """SELECT count(DISTINCT user_id) AS n_users,
            count(DISTINCT event_type) AS n_types
            FROM events""",
+      // the sketch estimate is golden-pinned by an independent Python
+      // HyperLogLog++ (tools/gen_hll_golden.py: XXH64-long hashing, p=12
+      // registers, linear-counting branch per the published algorithm);
+      // the exact half is computed live by DuckDB
+      "q36_approx_distinct" ->
+        s"""SELECT (SELECT count(DISTINCT l_partkey) FROM lineitem) AS exact_parts,
+            (SELECT approx_parts
+             FROM read_parquet('$golden/hll_sf001.parquet')) AS approx_parts""",
       "q38_sessionize" ->
         """WITH g AS (
              SELECT user_id, event_id, ts, epoch_us(ts) AS ts_us,
