@@ -866,6 +866,15 @@ object SparkEntry {
       out
     }),
 
+    // repeated-substring (exact-substring) span dedup — Lee et al. 2022
+    // semantics: corpus-wide k-char windows occurring >= minCount times
+    // mark spans, merged spans are cut (two-pass hash-prefilter +
+    // substring-exact recount; see text.SubstrDedup)
+    "q63_substr_dedup" -> ((s, dir) => {
+      graft.text.SubstrDedup.dedup(s, dedupCorpus(s, dir), "id", "text")
+        .orderBy("id")
+    }),
+
     // per-partition lineage/metrics table from a checkpointed run
     "q31_lineage_metrics" -> ((s, dir) => {
       // ONE reused per-session tree (removed by the scratch shutdown hook),
@@ -950,6 +959,14 @@ object SparkEntry {
         """SELECT count(DISTINCT user_id) AS n_users,
            count(DISTINCT event_type) AS n_types
            FROM events""",
+      // repeated-substring dedup re-derived from FIRST PRINCIPLES by
+      // independent Python (tools/gen_substr_golden.py: plain substring
+      // counting, no hashes) — proves the engine's rolling-hash prefilter
+      // + substring recount is semantics-neutral
+      "q63_substr_dedup" ->
+        s"""SELECT id, cleaned, n_spans, chars_removed
+           FROM read_parquet('$golden/substr_dedup_sf001.parquet')
+           ORDER BY id""",
       // the sketch estimate is golden-pinned by an independent Python
       // HyperLogLog++ (tools/gen_hll_golden.py: XXH64-long hashing, p=12
       // registers, linear-counting branch per the published algorithm);

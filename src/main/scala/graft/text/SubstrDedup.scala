@@ -1,0 +1,224 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen.mix64
+
+/** REPEATED-SUBSTRING (exact-substring) deduplication — the span-level
+  * companion to the document-level dedup family: any k-char window that
+  * occurs at least `minCount` times corpus-wide marks its span, overlapping
+  * or touching spans merge, and the merged spans are cut from the text.
+  * This is the training-data step popularized by Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better", ACL) —
+  * their ExactSubstr semantics re-shaped from a suffix-array batch job into
+  * Spark passes (a distributed suffix array is the wrong tool on a cluster;
+  * window counting gives the same >= k-length-repeat detection with plain
+  * aggregations).
+  *
+  * Exactness via the two-pass HeavyHitters pattern:
+  *   1. COUNT BY HASH: one rolling 64-bit hash per window position (O(len)
+  *      per doc), hash-only partial-aggregated count — the only corpus-wide
+  *      exchange, 8-byte keys, never text;
+  *   2. CONFIRM BY SUBSTRING: windows whose hash survives the count gate
+  *      re-count grouped by the actual substring — hash collisions cannot
+  *      fake a frequent substring (and a truly frequent one can never be
+  *      missed: equal strings share a hash, so every occurrence passes the
+  *      prefilter);
+  *   3. MARK + CUT: a final map-side scan marks positions whose window is
+  *      in the confirmed set, merges spans, and cuts them.
+  *
+  * Scale shape: three narrow scans over the corpus text; exchanges carry
+  * window hashes (pass 1) and candidate substrings (pass 2 — the
+  * boilerplate tail that passed the count gate, not the corpus). The
+  * confirmed set is boilerplate-cardinality and broadcasts; `maxConfirmed`
+  * fails loudly if a pathological corpus exceeds it (raise k or minCount).
+  *
+  * Contract notes: counting is per OCCURRENCE (a window repeated inside one
+  * document counts every position, matching the reference semantics);
+  * texts shorter than k pass through unchanged; removal is single-pass —
+  * seams created by a cut are not re-scanned (same as ExactSubstr).
+  */
+object SubstrDedup {
+
+  final case class Config(
+      k: Int = 30,
+      minCount: Long = 5,
+      maxConfirmed: Long = 10L << 20
+  ) {
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+  }
+
+  /** Rolling 64-bit hash of every k-char window of the RAW text (positions
+    * align with `t`; no canonicalization — spans must cut real bytes). */
+  private[graft] def windowHashes(t: String, k: Int): Array[Long] = {
+    if (t == null || t.length < k) return Array.empty
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    val out = new Array[Long](t.length - k + 1)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + t.charAt(i); i += 1 }
+    out(0) = mix64(h)
+    i = k
+    while (i < t.length) {
+      h = (h - t.charAt(i - k) * pow) * B + t.charAt(i)
+      out(i - k + 1) = mix64(h)
+      i += 1
+    }
+    out
+  }
+
+  final case class Cut(cleaned: String, n_spans: Int, chars_removed: Int)
+
+  /** Merge marked window positions into disjoint spans and cut them.
+    * `marked(i)` == true means [i, i+k) is a confirmed repeated window. */
+  private[graft] def cutSpans(t: String, marked: Array[Boolean], k: Int): Cut = {
+    var nSpans = 0
+    var removed = 0
+    val sb = new java.lang.StringBuilder(t.length)
+    var i = 0
+    var keepFrom = 0
+    while (i < marked.length) {
+      if (marked(i)) {
+        val start = i
+        var end = i + k
+        // extend while the next marked position overlaps or touches [.., end)
+        var j = i + 1
+        while (j < marked.length && j <= end) {
+          if (marked(j)) end = j + k
+          j += 1
+        }
+        sb.append(t, keepFrom, start.max(keepFrom))
+        keepFrom = end
+        removed += end - start
+        nSpans += 1
+        i = end
+      } else i += 1
+    }
+    sb.append(t, keepFrom.min(t.length), t.length)
+    Cut(sb.toString, nSpans, removed)
+  }
+
+  /** `docs` (idCol, textCol) -> (idCol, cleaned, n_spans, chars_removed).
+    * Rows with null/short text pass through with zero spans. */
+  def dedup(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val k = cfg.k
+    val minCount = cfg.minCount
+
+    val hashesUdf = udf((t: String) => windowHashes(t, k))
+
+    // pass 1: corpus-wide window counts BY HASH (8-byte keys, map-side
+    // combined); survivors are the boilerplate tail
+    val freqHashes = docs
+      .select(explode(hashesUdf(col(textCol))).as("h"))
+      .groupBy("h").count()
+      .filter(col("count") >= minCount)
+      .select("h")
+      .as[Long].collect()
+    require(freqHashes.length <= cfg.maxConfirmed,
+      s"${freqHashes.length} frequent window hashes exceed maxConfirmed=" +
+        s"${cfg.maxConfirmed} — raise k or minCount for this corpus")
+    val freqB = spark.sparkContext.broadcast(freqHashes.toSet)
+
+    // pass 2: exact recount by SUBSTRING among prefilter survivors only —
+    // kills hash collisions; exchange carries candidate substrings, not text
+    val candUdf = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val hs = windowHashes(t, k)
+        val f = freqB.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < hs.length) {
+          if (f(hs(i))) out += t.substring(i, i + k)
+          i += 1
+        }
+        out.toArray
+      }
+    }
+    val confirmed = docs
+      .select(explode(candUdf(col(textCol))).as("w"))
+      .groupBy("w").count()
+      .filter(col("count") >= minCount)
+      .select("w")
+      .as[String].collect()
+    val confirmedB = spark.sparkContext.broadcast(confirmed.toSet)
+
+    // pass 3: mark + merge + cut, map-side
+    val cutUdf = udf { (t: String) =>
+      if (t == null) Cut(null, 0, 0)
+      else {
+        val hs = windowHashes(t, k)
+        if (hs.isEmpty) Cut(t, 0, 0)
+        else {
+          val f = freqB.value
+          val c = confirmedB.value
+          val marked = new Array[Boolean](hs.length)
+          var i = 0
+          while (i < hs.length) {
+            marked(i) = f(hs(i)) && c(t.substring(i, i + k))
+            i += 1
+          }
+          cutSpans(t, marked, k)
+        }
+      }
+    }
+    // materialize, then release the two broadcast sets — same lifecycle as
+    // MinHashLSH/Incremental (without the destroy, repeated invocations
+    // stack boilerplate sets on the executors until driver GC). The
+    // localCheckpoint costs O(output) executor storage; a deployment
+    // streaming the cleaned corpus straight to a sink would inline these
+    // stages instead and destroy the broadcasts after the write.
+    val out = docs
+      .withColumn("_cut", cutUdf(col(textCol)))
+      .select(col(idCol), col("_cut.cleaned").as("cleaned"),
+        col("_cut.n_spans").as("n_spans"),
+        col("_cut.chars_removed").as("chars_removed"))
+      .localCheckpoint(true)
+    freqB.destroy()
+    confirmedB.destroy()
+    out
+  }
+
+  /** Driver-side brute-force oracle for tests (small corpora): the same
+    * semantics computed from first principles with substring counting —
+    * no hashes anywhere. */
+  def bruteForce(
+      docs: Seq[(Long, String)],
+      cfg: Config = Config()
+  ): Seq[(Long, String, Int, Int)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach { case (_, t) =>
+      if (t != null && t.length >= cfg.k) {
+        var i = 0
+        while (i + cfg.k <= t.length) {
+          val w = t.substring(i, i + cfg.k)
+          counts(w) = counts.getOrElse(w, 0L) + 1
+          i += 1
+        }
+      }
+    }
+    val frequent = counts.filter(_._2 >= cfg.minCount).keySet
+    docs.map { case (id, t) =>
+      if (t == null) (id, null, 0, 0)
+      else if (t.length < cfg.k) (id, t, 0, 0)
+      else {
+        val marked = Array.tabulate(t.length - cfg.k + 1)(i =>
+          frequent(t.substring(i, i + cfg.k)))
+        val cut = cutSpans(t, marked, cfg.k)
+        (id, cut.cleaned, cut.n_spans, cut.chars_removed)
+      }
+    }
+  }
+}
