@@ -120,6 +120,15 @@ object Stress {
         "h", expectedItems = half, fpp = 0.01).count()
     }
 
+    // repeated-substring span dedup: three corpus scans + hash/substring
+    // aggregations at 50× bench scale (the confirmed boilerplate set stays
+    // broadcast-sized by construction — template phrases, not the corpus)
+    val ((sdSpans, sdRemoved), sdSec) = timed {
+      val out = graft.text.SubstrDedup.dedup(spark, docs, "id", "text")
+      val row = out.agg(sum(col("n_spans")), sum(col("chars_removed"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -141,6 +150,7 @@ object Stress {
         f""""interleave":{"sec":$ilSec%.1f,"rows":$ilRows},""" +
         f""""grouped_topk":{"sec":$tkSec%.1f,"rows":$tkRows},""" +
         f""""bloom_incremental":{"sec":$biSec%.1f,"rows":$biRows},""" +
+        f""""substr_dedup":{"sec":$sdSec%.1f,"spans":$sdSpans,"chars_removed":$sdRemoved},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
