@@ -455,18 +455,18 @@ object SparkEntry {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
 
-    // approximate distinct (HLL) next to the exact count; tolerance
-    // asserted in ScalaTest (HLL sketches differ across engines, so the
-    // driver check is rows-only on the exact column ordering)
+    // approximate distinct (HLL++) next to the exact count; oracle-exact
+    // since round 4 — the sketch estimate is re-derived by an independent
+    // Python HLL++ (tools/gen_hll_golden.py) and golden-pinned; the
+    // ScalaTest error-bound check still pins it to the exact count
     "q36_approx_distinct" -> ((s, dir) => {
       t(s, dir, "lineitem").agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     }),
 
-    // exact-distinct counts — the DuckDB-oracled half of the q36 split
-    // (q36 keeps the HLL sketch next to the exact count; sketches are
-    // engine-specific so that one stays rows-only + error-bound-tested)
+    // exact-distinct counts over a second table (events) — q36 covers the
+    // lineitem split with the sketch riding alongside its exact count
     "q37_exact_distinct" -> ((s, dir) => {
       t(s, dir, "events").agg(
         countDistinct(col("user_id")).as("n_users"),

@@ -344,25 +344,40 @@ object Media {
       case _ =>
         // video: luma histogram over each frame's Y plane, walked IN PLACE
         // over the already-validated container — going through frameSample
-        // here would re-parse the header and copy every frame's bytes just
-        // to read them once (per-row allocation equal to the payload)
-        val frameSize = meta.width * meta.height * 3 / 2
+        // here would copy every frame's bytes just to read them once
+        // (per-row allocation equal to the payload)
         val ySize = meta.width * meta.height
-        var off = content.indexOf('\n'.toByte) + 1
-        var f = 0
-        while (f < meta.nFrames) {
-          var p = off
-          while (content(p) != '\n') p += 1 // skip "FRAME[ params]"
+        framePayloadOffsets(content, meta).foreach { p =>
           var i = 0
           while (i < ySize) {
-            out((content(p + 1 + i) & 0xff) * dim / 256) += 1f
+            out((content(p + i) & 0xff) * dim / 256) += 1f
             i += 1
           }
-          off = p + 1 + frameSize
-          f += 1
         }
     }
     l2(out)
+  }
+
+  /** Payload start offset of every frame of a DECODE-VALIDATED Y4M — the
+    * single shared FRAME-chain walk (features and frameSample both consume
+    * it, so the bounds reasoning lives in one place). frameSize is computed
+    * in LONG first: decode accepts any container whose total frame bytes
+    * fit the buffer, which a >1 GB cell can satisfy while w*h*3 alone
+    * overflows Int — the validated per-frame size always fits Int. */
+  private def framePayloadOffsets(content: Array[Byte], meta: MediaMeta): Iterator[Int] = {
+    val frameSize = (meta.width.toLong * meta.height * 3 / 2).toInt
+    new Iterator[Int] {
+      private var off = content.indexOf('\n'.toByte) + 1
+      private var emitted = 0
+      def hasNext: Boolean = emitted < meta.nFrames
+      def next(): Int = {
+        var p = off
+        while (content(p) != '\n') p += 1 // skip "FRAME[ params]"
+        off = p + 1 + frameSize
+        emitted += 1
+        p + 1
+      }
+    }
   }
 
   /** Every k-th frame's raw 4:2:0 bytes of a Y4M video; empty for
@@ -372,20 +387,11 @@ object Media {
   def frameSample(content: Array[Byte], everyK: Int): Seq[Array[Byte]] = {
     val meta = decode(content)
     if (!meta.valid || meta.kind != "video") return Nil
-    val frameSize = meta.width * meta.height * 3 / 2
-    val eol = content.indexOf('\n'.toByte)
-    var off = eol + 1
-    val frames = Seq.newBuilder[Array[Byte]]
-    var idx = 0
-    while (off < content.length) {
-      var p = off
-      while (content(p) != '\n') p += 1 // skip "FRAME[ params]"
-      if (idx % math.max(1, everyK) == 0)
-        frames += java.util.Arrays.copyOfRange(content, p + 1, p + 1 + frameSize)
-      idx += 1
-      off = p + 1 + frameSize
-    }
-    frames.result()
+    val frameSize = (meta.width.toLong * meta.height * 3 / 2).toInt
+    framePayloadOffsets(content, meta).zipWithIndex.collect {
+      case (p, idx) if idx % math.max(1, everyK) == 0 =>
+        java.util.Arrays.copyOfRange(content, p, p + frameSize)
+    }.toSeq
   }
 
   // -- Spark-side plumbing -------------------------------------------------

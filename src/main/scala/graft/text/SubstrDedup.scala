@@ -31,8 +31,10 @@ import graft.gen.TranscriptGen.mix64
   * Scale shape: three narrow scans over the corpus text; exchanges carry
   * window hashes (pass 1) and candidate substrings (pass 2 — the
   * boilerplate tail that passed the count gate, not the corpus). The
-  * confirmed set is boilerplate-cardinality and broadcasts; `maxConfirmed`
-  * fails loudly if a pathological corpus exceeds it (raise k or minCount).
+  * frequent-hash and confirmed-substring sets are boilerplate-cardinality
+  * and broadcast; `maxConfirmed` bounds the frequent-hash survivor count
+  * (checked BEFORE any driver collect) and fails loudly if a pathological
+  * corpus exceeds it (raise k or minCount).
   *
   * Contract notes: counting is per OCCURRENCE (a window repeated inside one
   * document counts every position, matching the reference semantics);
@@ -119,17 +121,27 @@ object SubstrDedup {
     val hashesUdf = udf((t: String) => windowHashes(t, k))
 
     // pass 1: corpus-wide window counts BY HASH (8-byte keys, map-side
-    // combined); survivors are the boilerplate tail
-    val freqHashes = docs
+    // combined); survivors are the boilerplate tail. The cardinality guard
+    // runs as a COUNT before anything is collected — a pathological corpus
+    // must die with the designed error naming k/minCount, not an
+    // OutOfMemoryError halfway through materializing the driver array.
+    val freqDf = docs
       .select(explode(hashesUdf(col(textCol))).as("h"))
       .groupBy("h").count()
       .filter(col("count") >= minCount)
       .select("h")
-      .as[Long].collect()
-    require(freqHashes.length <= cfg.maxConfirmed,
-      s"${freqHashes.length} frequent window hashes exceed maxConfirmed=" +
+      .localCheckpoint(true) // counted, then collected — one aggregation
+    val nFreq = freqDf.count()
+    require(nFreq <= cfg.maxConfirmed,
+      s"$nFreq frequent window hashes exceed maxConfirmed=" +
         s"${cfg.maxConfirmed} — raise k or minCount for this corpus")
-    val freqB = spark.sparkContext.broadcast(freqHashes.toSet)
+    // sorted primitive array + binarySearch: the membership probe runs once
+    // per corpus CHARACTER in passes 2 and 3 — a boxed Set[Long] would
+    // allocate a Long per probe and cost ~6x the broadcast bytes
+    val freqArr = freqDf.as[Long].collect()
+    java.util.Arrays.sort(freqArr)
+    freqDf.unpersist(false)
+    val freqB = spark.sparkContext.broadcast(freqArr)
 
     // pass 2: exact recount by SUBSTRING among prefilter survivors only —
     // kills hash collisions; exchange carries candidate substrings, not text
@@ -141,7 +153,8 @@ object SubstrDedup {
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
         while (i < hs.length) {
-          if (f(hs(i))) out += t.substring(i, i + k)
+          if (java.util.Arrays.binarySearch(f, hs(i)) >= 0)
+            out += t.substring(i, i + k)
           i += 1
         }
         out.toArray
@@ -153,7 +166,9 @@ object SubstrDedup {
       .filter(col("count") >= minCount)
       .select("w")
       .as[String].collect()
-    val confirmedB = spark.sparkContext.broadcast(confirmed.toSet)
+    val confirmedSet = new java.util.HashSet[String](confirmed.length * 2)
+    confirmed.foreach(confirmedSet.add)
+    val confirmedB = spark.sparkContext.broadcast(confirmedSet)
 
     // pass 3: mark + merge + cut, map-side
     val cutUdf = udf { (t: String) =>
@@ -167,7 +182,8 @@ object SubstrDedup {
           val marked = new Array[Boolean](hs.length)
           var i = 0
           while (i < hs.length) {
-            marked(i) = f(hs(i)) && c(t.substring(i, i + k))
+            marked(i) = java.util.Arrays.binarySearch(f, hs(i)) >= 0 &&
+              c.contains(t.substring(i, i + k))
             i += 1
           }
           cutSpans(t, marked, k)

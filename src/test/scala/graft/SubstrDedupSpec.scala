@@ -86,7 +86,15 @@ class SubstrDedupSpec extends AnyFunSuite with SparkTestBase {
         val o = SubstrDedup
           .dedup(spark, docs, "id", "text", SubstrDedup.Config(k = 10, minCount = 5))
           .collect()
-        Thread.sleep(1000)
+        // listener events are async: poll until the metric stabilizes
+        // instead of hoping one fixed sleep outlasts a loaded host
+        var last = -1L
+        var spins = 0
+        while (shuffleWrite.get() != last && spins < 20) {
+          last = shuffleWrite.get()
+          Thread.sleep(250)
+          spins += 1
+        }
         o
       } finally spark.sparkContext.removeSparkListener(listener)
     assert(out.length === 400)
