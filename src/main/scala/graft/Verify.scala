@@ -14,6 +14,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR runs the WHOLE battery in the reliable-
+    // checkpoint pinning mode (Materialize.pin) — diffing the two runs'
+    // outputs proves mode parity beyond the unit tests
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(d => spark.conf.set(graft.run.Materialize.ConfKey, d))
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
