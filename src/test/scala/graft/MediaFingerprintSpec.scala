@@ -99,6 +99,23 @@ class MediaFingerprintSpec extends AnyFunSuite with SparkTestBase {
     assert(!Media.decode(bmpMinH).valid)
   }
 
+  test("Y4M frame-level parameters (FRAME Ixyz) are tolerated per spec") {
+    // the YUV4MPEG2 spec allows per-frame params after the FRAME magic;
+    // our writer never emits them but real-world files do
+    val plain = Media.writeY4m(4, 2, Seq.fill(2)(Array.fill[Byte](12)(3)))
+    val withParams = {
+      val head = "YUV4MPEG2 W4 H2 F25:1 Ip A1:1\n".getBytes("US-ASCII")
+      val f1 = "FRAME Ixyz\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(3)
+      val f2 = "FRAME\n".getBytes("US-ASCII") ++ Array.fill[Byte](12)(3)
+      head ++ f1 ++ f2
+    }
+    val m = Media.decode(withParams)
+    assert(m.valid && m.nFrames === 2 && m.payloadBytes === 24)
+    assert(Media.frameSample(withParams, 1).map(_.toSeq) ===
+      Media.frameSample(plain, 1).map(_.toSeq))
+    assert(Media.features(withParams).toSeq === Media.features(plain).toSeq)
+  }
+
   test("meta summary drops the binary before the shuffle") {
     import spark.implicits._
     val media = Media.synthesize(spark, 200)
