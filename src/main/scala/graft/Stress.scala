@@ -27,6 +27,11 @@ object Stress {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_CHECKPOINT_DIR runs the whole stress battery in the
+    // reliable-checkpoint pinning mode (Materialize.pin) — the over-budget
+    // tiers ARE the 100-TB shapes, so they too must be mode-invariant
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(d => spark.conf.set(graft.run.Materialize.ConfKey, d))
 
     // staged synthetic corpus (exact-deduped turn texts, stable ids);
     // sfOf parses the label so no testdata directory is touched
@@ -129,6 +134,17 @@ object Stress {
       (row.getLong(0), row.getLong(1))
     }
 
+    // the same span dedup with the DISTRIBUTED confirm tier forced
+    // (maxConfirmedChars = 1): the confirmed-substring set never touches
+    // the driver — shuffle semi-join membership; span/char counts must be
+    // identical to the broadcast tier above
+    val ((sdDistSpans, sdDistRemoved), sdDistSec) = timed {
+      val out = graft.text.SubstrDedup.dedup(spark, docs, "id", "text",
+        graft.text.SubstrDedup.Config(maxConfirmedChars = 1L))
+      val row = out.agg(sum(col("n_spans")), sum(col("chars_removed"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -151,6 +167,7 @@ object Stress {
         f""""grouped_topk":{"sec":$tkSec%.1f,"rows":$tkRows},""" +
         f""""bloom_incremental":{"sec":$biSec%.1f,"rows":$biRows},""" +
         f""""substr_dedup":{"sec":$sdSec%.1f,"spans":$sdSpans,"chars_removed":$sdRemoved},""" +
+        f""""substr_dedup_dist":{"sec":$sdDistSec%.1f,"spans":$sdDistSpans,"chars_removed":$sdDistRemoved},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")

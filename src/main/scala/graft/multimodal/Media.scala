@@ -212,9 +212,15 @@ object Media {
       val isData = b(o) == 'd' && b(o + 1) == 'a' && b(o + 2) == 't' && b(o + 3) == 'a'
       if (isFmt && size >= 16) {
         val audioFormat = le16(b, o + 8)
+        val channels = le16(b, o + 10)
         rate = le32(b, o + 12)
         blockAlign = le16(b, o + 20)
-        fmtOk = audioFormat == 1 && rate > 0 && blockAlign > 0
+        val bitsPerSample = le16(b, o + 22)
+        // features() walks the samples as 16-bit mono (2-byte stride), so
+        // decode validity must match that assumption: a stereo or 8-bit PCM
+        // file would decode "valid" with misread sample counts / energy bins
+        fmtOk = audioFormat == 1 && channels == 1 && bitsPerSample == 16 &&
+          rate > 0 && blockAlign > 0
         if (!fmtOk) return invalid(b)
       } else if (isData) dataLen = size
       off += 8 + size + (size & 1) // RIFF chunks are word-aligned

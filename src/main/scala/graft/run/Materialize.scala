@@ -32,6 +32,16 @@ object Materialize {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** The base dir last passed to `setCheckpointDir` per context. Comparing
+    * against this (not against `getCheckpointDir`, which is base + a
+    * per-call UUID subdir) makes the staleness check exact: a substring
+    * test would false-positive when the new base is a substring of the old
+    * one (e.g. /data/ckpt-a -> /data/ckpt) and keep writing under the
+    * stale base. Weak keys so a stopped context doesn't pin its entry. */
+  private val lastBase =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
+
   /** Materialize `df` under the session's pinning policy (see object doc). */
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -41,8 +51,10 @@ object Materialize {
         val sc = spark.sparkContext
         // setCheckpointDir appends a per-call UUID subdir — only (re)set when
         // the configured base changed, or every pin would open a new subdir
-        if (!sc.getCheckpointDir.exists(_.contains(d)))
+        if (sc.getCheckpointDir.isEmpty || lastBase.get(sc) != d) {
           sc.setCheckpointDir(d)
+          lastBase.put(sc, d)
+        }
         df.checkpoint(eager = true)
       case None =>
         df.localCheckpoint(eager = true)

@@ -331,12 +331,24 @@ object Ann {
     * map-side codegen-adjacent work with zero shuffle, and only qualifying
     * pairs (id, id, cosine) ever cross the wire. A pair is emitted exactly
     * once: while scanning its LARGER id against the chunk holding the
-    * smaller. */
+    * smaller.
+    *
+    * VERIFIER CONTRACT: the chunk collects route the FULL corpus bytes
+    * through the driver over the course of the run (one chunk at a time —
+    * peak heap is one chunk, but total driver traffic is `corpusBytes`).
+    * That is acceptable for this operator's role — the exhaustive
+    * small/mid-scale verifier — and wrong for a production corpus, whose
+    * path is [[nearDuplicatePairs]] (LSH-bucketed, no driver routing).
+    * `verifierBudgetBytes` makes the contract LOUD: a corpus estimated
+    * above it fails fast with this explanation instead of grinding the
+    * driver NIC for hours. Raise it deliberately if a bigger verification
+    * run is intended. */
   def thresholdPairs(
       spark: SparkSession,
       corpus: DataFrame, // columns: vec_id (long), embedding (array<float>)
       minCosine: Double,
-      maxBroadcastBytes: Long = 64L << 20
+      maxBroadcastBytes: Long = 64L << 20,
+      verifierBudgetBytes: Long = 8L << 30
   ): DataFrame = {
     import spark.implicits._
     val vecs = corpus.select(col("vec_id"), col("embedding"))
@@ -349,6 +361,13 @@ object Ann {
     if (n == 0)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
     val bytesPerVec = 4L * dim + 48L // array + tuple + norm overhead
+    require(n * bytesPerVec <= verifierBudgetBytes,
+      s"thresholdPairs is the small/mid-scale VERIFIER: its chunked " +
+        s"broadcasts route the full corpus (~${n * bytesPerVec} bytes, " +
+        s"$n vecs x $bytesPerVec B) through the driver, which exceeds " +
+        s"verifierBudgetBytes=$verifierBudgetBytes. Use " +
+        s"Ann.nearDuplicatePairs (LSH-bucketed, no driver routing) at this " +
+        s"scale, or raise the budget deliberately.")
     val nChunks = math.max(1L, (n * bytesPerVec + maxBroadcastBytes - 1) /
       maxBroadcastBytes).toInt
 

@@ -305,6 +305,13 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(got.length === got.toSet.size, "each pair must be emitted exactly once")
     assert(got.toSet === expected)
+
+    // the verifier contract is LOUD: a corpus estimated above the budget
+    // must fail fast naming the scale path, before any chunk is collected
+    val e = intercept[IllegalArgumentException] {
+      Ann.thresholdPairs(spark, df, tau, verifierBudgetBytes = 64L)
+    }
+    assert(e.getMessage.contains("nearDuplicatePairs"))
   }
 
   test("LSH ANN recall vs exact baseline on clustered data") {

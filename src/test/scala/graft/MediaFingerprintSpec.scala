@@ -64,6 +64,14 @@ class MediaFingerprintSpec extends AnyFunSuite with SparkTestBase {
     val wavLie = wav.clone()
     wavLie(40) = wav.length.toByte; wavLie(41) = 1
     assert(!Media.decode(wavLie).valid)
+    // fmt variants features() cannot walk (it assumes 16-bit mono, 2-byte
+    // stride): stereo and 8-bit PCM must decode invalid, not misread
+    val wavStereo = wav.clone()
+    wavStereo(22) = 2 // channels = 2
+    assert(!Media.decode(wavStereo).valid)
+    val wav8bit = wav.clone()
+    wav8bit(34) = 8 // bits/sample = 8
+    assert(!Media.decode(wav8bit).valid)
   }
 
   test("decode rejects Int-overflow header attacks without throwing") {

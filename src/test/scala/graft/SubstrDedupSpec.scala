@@ -41,6 +41,25 @@ class SubstrDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(got.find(_._1 == 101L).get === ((101L, "short", 0, 0)))
   }
 
+  test("over-budget tier (distributed confirm set) == in-budget tier == brute force") {
+    import spark.implicits._
+    val docs = mkDocs
+    // maxConfirmedChars=1 forces the distributed semi-join tier: the
+    // confirmed set never touches the driver, yet every mark must agree
+    val forced = cfg.copy(maxConfirmedChars = 1L)
+    val obs = org.apache.spark.sql.Observation()
+    val got = SubstrDedup
+      .dedup(spark, docs.toDF("id", "text"), "id", "text", forced, Some(obs))
+      .as[(Long, String, Int, Int)].collect().sortBy(_._1).toSeq
+    val want = SubstrDedup.bruteForce(docs, cfg).sortBy(_._1)
+    assert(got === want)
+    // the observe side channel carries the stage totals on the pin job
+    assert(obs.get("n_substr").asInstanceOf[Long] ===
+      want.map(_._3.toLong).sum)
+    assert(obs.get("chars_removed").asInstanceOf[Long] ===
+      want.map(_._4.toLong).sum)
+  }
+
   test("span merge semantics: overlap and touch merge, seams are not re-scanned") {
     val k = 4
     // windows "aaaa" at 0..2 overlap -> ONE span [0,6); the remaining text

@@ -56,7 +56,10 @@ def decode_wav(b: bytes):
             audio_format, channels = struct.unpack_from("<HH", b, off + 8)
             rate, = struct.unpack_from("<I", b, off + 12)
             block_align, = struct.unpack_from("<H", b, off + 20)
-            fmt_ok = audio_format == 1 and rate > 0 and block_align > 0
+            bits_per_sample, = struct.unpack_from("<H", b, off + 22)
+            # features() assumes 16-bit mono — decode validity must match
+            fmt_ok = (audio_format == 1 and channels == 1
+                      and bits_per_sample == 16 and rate > 0 and block_align > 0)
             if not fmt_ok:
                 return None
         elif cid == b"data":
