@@ -28,11 +28,26 @@ import org.apache.spark.sql.SparkSession
   * 0.6 s). Default is 2 so the unattended driver capture gets the
   * protection; set 1 for the fastest single-pass iteration loop.
   *
-  * Noise sentinel: "sentinel":[start,middle,end] times one tiny fixed
-  * control query (q01 at sf0.001) at three points in the battery. A
-  * sentinel spread (max/min) beyond ~2× means the capture overlapped a
-  * host noise burst — treat the battery total as an upper bound and
-  * re-run (README.md "Benchmark noise" for the full interpretation rule).
+  * Noise sentinels (two, because rounds 2–4 each lost a capture to a
+  * different contamination class):
+  *   - "sentinel":[start,middle,end] — a tiny SCAN-bound control (q01 at
+  *     sf0.001). Catches CPU-side noise bursts.
+  *   - "sentinel_shuffle":[start,middle,end] — a fixed synthetic
+  *     SHUFFLE+WRITE control (1M generated rows, ~50 MB shuffled, hashed
+  *     repartition + parquet write to scratch). Catches I/O-side
+  *     contention, which round 4 proved is INVISIBLE to a scan sentinel
+  *     (driver capture 5× inflated on shuffle-heavy queries while the
+  *     scan sentinel read clean).
+  * Spread (max/min) beyond ~2× on EITHER sentinel marks the capture.
+  *
+  * Reference profile: a committed BENCH_PROFILE.json (clean per-query
+  * times at the same sf/cpus; SPARK_GRAFT_PROFILE overrides the path)
+  * turns the capture self-adjudicating regardless of which resource a
+  * burst hits: the JSON reports "profile_ratio_median" (median of
+  * per-query best-time / profile-time) and "profile_outliers" (queries
+  * with profile >= 0.5 s running > 3x their profile time). The combined
+  * "contaminated" flag is true iff any sentinel spread > 2x, any outlier
+  * exists, or the median ratio > 1.5 — the exact rule in README.md.
   */
 object Bench {
 
@@ -118,28 +133,54 @@ object Bench {
       val small = "/root/testdata/sf0.001"
       if (new java.io.File(small).isDirectory) small else sfDir
     }
-    def sentinel(): Double = {
+    def timeQuery(name: String): Double = {
       val t0 = System.nanoTime()
-      try force(SparkEntry.queries("q01_report_agg")(spark, sentinelDir))
+      try force(SparkEntry.queries(name)(spark, sentinelDir))
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    // the sentinel measures the HOST, so its own one-time costs (first-call
-    // plan compilation, parquet footer cache) must not land in the first
-    // timed reading — with SPARK_GRAFT_NO_WARMUP=1 they would make the
-    // start/middle spread self-trigger the >2x noise rule
-    sentinel()
+    def sentinel(): Double = timeQuery("q01_report_agg")
+    // Fixed synthetic exchange + parquet write: 1M generated rows (~50 MB
+    // of shuffle bytes via a 32-char pad) hashed across 32 partitions and
+    // written to scratch — exercises shuffle serialization, disk write and
+    // fs metadata, the I/O-side resources a scan sentinel cannot see.
+    // Purpose-built (rather than reusing q31 at sf0.001) because the
+    // control must be CHEAP enough to run at three battery points: q31's
+    // checkpoint+read-back costs ~5 s/point, this ~1 s.
+    val sentinelShuffleDir =
+      sys.props("java.io.tmpdir").stripSuffix("/") + "/graft_bench_sentinel"
+    def sentinelShuffle(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        spark.range(0, 1000000, 1, 32)
+          .selectExpr("id", "xxhash64(id) as h", "repeat('x', 32) as pad")
+          .repartition(32, org.apache.spark.sql.functions.col("h"))
+          .write.mode("overwrite").parquet(sentinelShuffleDir)
+      } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // the sentinels measure the HOST, so their own one-time costs
+    // (first-call plan compilation, parquet footer cache, scratch-dir
+    // setup) must not land in the first timed reading — with
+    // SPARK_GRAFT_NO_WARMUP=1 they would make the start/middle spread
+    // self-trigger the >2x noise rule
+    sentinel(); sentinelShuffle()
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val sentinels = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val sentinelsShuffle = scala.collection.mutable.ArrayBuffer.empty[Double]
+    def sentinelPoint(): Unit = {
+      sentinels += sentinel()
+      sentinelsShuffle += sentinelShuffle()
+    }
     val selectedQueries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => selected(name) }
-    sentinels += sentinel()
+    sentinelPoint()
     val mid = selectedQueries.size / 2
     val results = selectedQueries.zipWithIndex
       .map { case ((name, fn), i) =>
-        if (i == mid && i > 0) sentinels += sentinel()
+        if (i == mid && i > 0) sentinelPoint()
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var rep = 0
         while (rep < reps && !errors.contains(name)) {
@@ -158,7 +199,7 @@ object Bench {
         // of the query's true cost on this host
         name -> times.min
       }
-    sentinels += sentinel()
+    sentinelPoint()
 
     // flagship throughput: full pipeline over the sf-scaled synthetic table,
     // staged to parquet first (untimed) — production reads a table scan
@@ -184,6 +225,50 @@ object Bench {
     val tps = if (flagshipSec > 0) nTurns / flagshipSec else 0.0
 
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
+
+    // ---- self-adjudication: sentinel spreads + committed reference profile.
+    // A capture is flagged "contaminated" without any human re-run iff
+    //   (a) either sentinel's max/min spread exceeds 2x, OR
+    //   (b) any profiled query with profile >= 0.5 s ran > 3x its profile, OR
+    //   (c) the median of per-query best/profile ratios exceeds 1.5.
+    // (b)+(c) are what caught-in-hindsight BENCH_r04 needed: its heavy
+    // queries ran 5-10x profile while both sentinels would have read clean.
+    def spread(xs: Seq[Double]): Double =
+      if (xs.isEmpty || xs.min <= 0) 0.0 else xs.max / xs.min
+    val profilePath = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_PROFILE.json")
+    // the profile file is a previous clean bench_out.json (same format);
+    // only its "queries" block plus the sf/cpus stamps are read, and a
+    // profile captured at a different sf or core count is ignored rather
+    // than mis-compared
+    val profile: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(profilePath)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      val profSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      val profCpus = """"cpus"\s*:\s*"?(\d+)"?""".r.findFirstMatchIn(txt).map(_.group(1))
+      if (profSf.exists(_ != sfDir) || profCpus.exists(_ != cpus)) Map.empty
+      else {
+        val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(qBlock)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val ratios = ok.flatMap { case (k, v) =>
+      profile.get(k).filter(_ > 0).map(p => (k, v / p, p)) }
+    val ratioMedian =
+      if (ratios.isEmpty) 0.0
+      else {
+        val s = ratios.map(_._2).sorted
+        val n = s.size
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      }
+    // sub-half-second profiles are too jittery for a 3x rule — the median
+    // test still covers them in aggregate
+    val outliers = ratios.collect { case (k, r, p) if p >= 0.5 && r > 3.0 => k }
+    val contaminated =
+      spread(sentinels.toSeq) > 2.0 || spread(sentinelsShuffle.toSeq) > 2.0 ||
+        outliers.nonEmpty || (ratios.nonEmpty && ratioMedian > 1.5)
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val spreadJson = spreads
       .map { case (k, ts) =>
@@ -194,14 +279,22 @@ object Bench {
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val sentJson = sentinels.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val sentShufJson = sentinelsShuffle.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val outliersJson = outliers.map(k => s""""$k"""").mkString("[", ",", "]")
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"spreads":$spreadJson,"sentinel":$sentJson,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"reps":$reps,"spreads":$spreadJson,"sentinel":$sentJson,"sentinel_shuffle":$sentShufJson,"profile_queries":${profile.size},"profile_ratio_median":$ratioMedian%.3f,"profile_outliers":$outliersJson,"contaminated":$contaminated,"errors":$errJson,"sf":"$sfDir","cpus":$cpus,"flagship_turns":$nTurns,"flagship_sec":$flagshipSec%.3f,"turns_per_sec":$tps%.1f}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile: $e") }
+    // the shuffle sentinel's scratch tree is fixed-path and overwritten per
+    // point, but still delete it so a bench run leaves nothing behind
+    try {
+      val p = new org.apache.hadoop.fs.Path(sentinelShuffleDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true); ()
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -818,22 +818,37 @@ object SparkEntry {
         .components(s, pairs, exact.select(col("doc_id").as("id")))
         .filter(col("keep")).select(col("id").as("doc_id"))
       val obsDd = org.apache.spark.sql.Observation()
-      val dd = graft.run.Materialize.pin( // read by decontaminate + anti-join
+      val dd = graft.run.Materialize.pin( // read by the span-cut stage
         exact.join(reps, Seq("doc_id"), "left_semi")
           .observe(obsDd, count(lit(1)).as("n")))
-      // stage 3: decontamination — "benchmark" = the deterministic
+      // stage 3: span-level repeated-substring cut — the Lee et al. 2022
+      // pipeline order (document-level dedup, THEN exact-substring spans,
+      // then decontamination). minCount=2 is the published ExactSubstr
+      // default (a substring repeated anywhere is boilerplate); k=25 is
+      // their 50-char threshold scaled to the ~150-char synthetic docs.
+      // The stage total rides the pin job inside dedup() via observe and
+      // lands in the manifest as n_substr. Downstream stages consume the
+      // CUT text: n_chars is recomputed so mixture mass, decontamination
+      // grams and pack token counts all see the post-cut corpus.
+      val obsSub = org.apache.spark.sql.Observation()
+      val sd0 = graft.text.SubstrDedup.dedup(s, dd, "doc_id", "text",
+        graft.text.SubstrDedup.Config(k = 25, minCount = 2), Some(obsSub))
+      val sd = sd0
+        .select(col("doc_id"), col("cleaned").as("text"), col("source"))
+        .withColumn("n_chars", length(col("text")))
+      // stage 4: decontamination — "benchmark" = the deterministic
       // doc_id % 41 == 0 slice of the survivors; any doc sharing a word
       // 3-gram with it (the slice itself included) is removed
-      val bench = dd.filter(pmod(col("doc_id"), lit(41)) === 0).select("text")
+      val bench = sd.filter(pmod(col("doc_id"), lit(41)) === 0).select("text")
       val dirty = graft.dedup.Decontaminate
-        .contaminated(s, dd, bench, "doc_id", "text", n = 3)
+        .contaminated(s, sd, bench, "doc_id", "text", n = 3)
         .select(col("doc_id"))
       val obsCl = org.apache.spark.sql.Observation()
       // the clean-stage count rides the Mixture weights aggregation (the
       // next full traversal of cl) — no extra job
-      val cl = dd.join(dirty, Seq("doc_id"), "left_anti")
+      val cl = sd.join(dirty, Seq("doc_id"), "left_anti")
         .observe(obsCl, count(lit(1)).as("n"))
-      // stages 4-6: mixture → interleave → pack
+      // stages 5-7: mixture → interleave → pack
       val weights = graft.sample.Mixture
         .weights(cl, col("source"), col("n_chars"), alpha = 0.5)
       val inter = graft.sample.Interleave
@@ -854,15 +869,17 @@ object SparkEntry {
       val out = manifest
         .withColumn("n_exact", lit(obsCount(obsExact)))
         .withColumn("n_dedup", lit(obsCount(obsDd)))
+        .withColumn("n_substr", lit(obsSub.get("n_substr").asInstanceOf[Long]))
         .withColumn("n_clean", lit(obsCount(obsCl)))
         .orderBy("source", "bin")
-        // materialize the (tiny) manifest so the two intermediate
+        // materialize the (tiny) manifest so the three intermediate
         // checkpoints can be released — without this, every invocation
-        // pins two survivor-corpus block sets until driver GC (the leak
+        // pins survivor-corpus block sets until driver GC (the leak
         // class fixed in DupGroups/NgramJaccard)
         .localCheckpoint(true)
       exact.unpersist(false)
       dd.unpersist(false)
+      sd0.unpersist(false)
       out
     }),
 
@@ -1185,17 +1202,30 @@ object SparkEntry {
            comp AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
            dd AS (SELECT ex.* FROM ex JOIN comp
                   ON ex.doc_id = comp.id AND comp.group_id = ex.doc_id),
+           -- span-cut stage: repeated-substring spans replayed from the
+           -- committed FIRST-PRINCIPLES golden (independent Python substring
+           -- counting over the dd survivors, tools/gen_capstone_substr_
+           -- golden.py — no hashes, k=25, minCount=2). The INNER join means
+           -- any disagreement between this CTE's dd and the golden's
+           -- independently-derived survivor set drops rows and fails the
+           -- count/hash compare. Downstream stages see the CUT text and
+           -- recomputed n_chars, exactly like the engine.
+           sd AS (SELECT dd.doc_id, g.cleaned AS text, dd.source,
+                         len(g.cleaned) AS n_chars, g.n_spans
+                  FROM dd
+                  JOIN read_parquet('$golden/capstone_substr_sf001.parquet') g
+                    USING (doc_id)),
            g3 AS (SELECT doc_id,
                     concat_ws(' ', t, lead(t,1) OVER win, lead(t,2) OVER win) AS gram,
                     lead(t,2) OVER win AS l2
                   FROM (SELECT doc_id, unnest(ws) AS t, unnest(range(1, len(ws)+1)) AS i
                         FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS ws
-                              FROM dd WHERE len(trim(text)) > 0))
+                              FROM sd WHERE len(trim(text)) > 0))
                   WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
            dg AS (SELECT DISTINCT doc_id, gram FROM g3 WHERE l2 IS NOT NULL),
            bgrams AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 41 = 0),
            dirty AS (SELECT DISTINCT doc_id FROM dg JOIN bgrams USING (gram)),
-           cl AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+           cl AS (SELECT * FROM sd WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
            gm AS (SELECT source, cast(sum(n_chars) AS BIGINT) AS mass FROM cl GROUP BY source),
            wt AS (SELECT source, round(pow(mass::DOUBLE, 0.5) /
                     (SELECT sum(pow(mass::DOUBLE, 0.5)) FROM gm), 6) AS weight FROM gm),
@@ -1216,6 +1246,7 @@ object SparkEntry {
                  FROM cum GROUP BY source, bin)
            SELECT m.*, (SELECT count(*) FROM ex) AS n_exact,
                   (SELECT count(*) FROM dd) AS n_dedup,
+                  (SELECT cast(sum(n_spans) AS BIGINT) FROM sd) AS n_substr,
                   (SELECT count(*) FROM cl) AS n_clean
            FROM m ORDER BY source, bin""",
       "q53_embed_dedup" ->

@@ -123,8 +123,13 @@ object SubstrDedup {
     Cut(sb.toString, nSpans, removed)
   }
 
-  /** `docs` (idCol, textCol) -> (idCol, cleaned, n_spans, chars_removed).
-    * Rows with null/short text pass through with zero spans.
+  /** `docs` (idCol, textCol, passengers...) -> (idCol, passengers...,
+    * cleaned, n_spans, chars_removed). Rows with null/short text pass
+    * through with zero spans. Passenger columns (anything besides the
+    * text) ride through the cut untouched, so a composing pipeline (the
+    * q59 capstone) keeps its metadata without re-joining the corpus by id
+    * afterwards; column names `cleaned`/`n_spans`/`chars_removed` are
+    * reserved for the output.
     *
     * `spansObs`: optional Observation attached to the output before it is
     * pinned — carries `n_substr` (total spans cut) and `chars_removed` on
@@ -141,6 +146,13 @@ object SubstrDedup {
     import spark.implicits._
     val k = cfg.k
     val minCount = cfg.minCount
+
+    // passenger columns survive the cut; the raw text column is replaced
+    // by `cleaned`
+    val passCols = docs.columns.filterNot(_ == textCol).toSeq.map(col)
+    val cutCols = Seq(col("_cut.cleaned").as("cleaned"),
+      col("_cut.n_spans").as("n_spans"),
+      col("_cut.chars_removed").as("chars_removed"))
 
     val hashesUdf = udf((t: String) => windowHashes(t, k))
 
@@ -226,9 +238,7 @@ object SubstrDedup {
         }
         val r = docs
           .withColumn("_cut", cutUdf(col(textCol)))
-          .select(col(idCol), col("_cut.cleaned").as("cleaned"),
-            col("_cut.n_spans").as("n_spans"),
-            col("_cut.chars_removed").as("chars_removed"))
+          .select(passCols ++ cutCols: _*)
         (r, Some(confirmedB))
       } else {
         // LARGE TIER: the confirmed set stays DISTRIBUTED. Per-position
@@ -271,9 +281,7 @@ object SubstrDedup {
         val r = docs
           .join(markedPos, Seq(idCol), "left")
           .withColumn("_cut", cutAtUdf(col(textCol), col("_marked")))
-          .select(col(idCol), col("_cut.cleaned").as("cleaned"),
-            col("_cut.n_spans").as("n_spans"),
-            col("_cut.chars_removed").as("chars_removed"))
+          .select(passCols ++ cutCols: _*)
         (r, None)
       }
 
