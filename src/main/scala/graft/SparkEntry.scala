@@ -360,12 +360,28 @@ object SparkEntry {
           when(size(col("fp")) > 0, element_at(col("fp"), 1)).as("min_fp"))
     }),
 
-    // BPE-ish pre-tokenizer count (letters / digit-runs / single symbols)
+    // BPE pre-tokenizer count (letters / digit-runs / single symbols) —
+    // the PRE-tokenization half of the tokenizer; the learned-merge half
+    // is q64
     "q25_bpe_tokens" -> ((s, dir) => {
       docs(s, dir).select(
         col("doc_id"),
         size(regexp_extract_all(col("text"),
           lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0))).as("n_bpe_tokens"))
+    }),
+
+    // LEARNED BPE (Sennrich 2016): train 50 merges on the corpus — ONE
+    // vocabulary aggregation is the only corpus-wide training pass, the
+    // merge loop runs over the budget-guarded vocab — then encode with the
+    // greedy lowest-rank loop (broadcast rank table, memoized map-side
+    // UDF); see text.Bpe for the determinism contract the independent
+    // Python oracle replicates
+    // nMerges=50 sits below this corpus's ~89-merge dry-out so the merge
+    // RANK ORDER stays observable in the encoded output (at dry-out every
+    // word is a single token and any order looks identical)
+    "q64_bpe_learned" -> ((s, dir) => {
+      graft.text.Bpe.learnEncode(s, docs(s, dir), "doc_id", "text",
+        graft.text.Bpe.Config(nMerges = 50)).orderBy("doc_id")
     }),
 
     // UAX#29 word counting (report word-count mode B, reference
@@ -984,6 +1000,14 @@ object SparkEntry {
         s"""SELECT id, cleaned, n_spans, chars_removed
            FROM read_parquet('$golden/substr_dedup_sf001.parquet')
            ORDER BY id""",
+      // learned-BPE golden: a fully independent Python trainer + encoder
+      // over the same corpus (tools/gen_bpe_golden.py — same pre-tokenizer
+      // spec, weighted pair counts, lexicographic tie-break, and greedy
+      // lowest-rank merge loop, from first principles, no JVM)
+      "q64_bpe_learned" ->
+        s"""SELECT doc_id, n_bpe_tokens, bpe_text
+           FROM read_parquet('$golden/bpe_sf001.parquet')
+           ORDER BY doc_id""",
       // the sketch estimate is golden-pinned by an independent Python
       // HyperLogLog++ (tools/gen_hll_golden.py: XXH64-long hashing, p=12
       // registers, linear-counting branch per the published algorithm);

@@ -1,0 +1,296 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LEARNED byte-pair-encoding tokenizer — train merges on the corpus, then
+  * encode with them (Sennrich et al. 2016; the greedy lowest-rank merge
+  * loop popularized by GPT-2's tokenizer). This replaces the round-2
+  * "BPE-ish" fixed pre-tokenizer count (q25) with real learned merges
+  * (VERDICT r4 "What's missing" #2).
+  *
+  * Scale shape — the part that must survive 100 TB:
+  *   1. PRE-TOKENIZE + WORD COUNT: one narrow scan of the corpus into a
+  *      (word, count) vocabulary via a plain aggregation. This is the ONLY
+  *      corpus-wide pass in training; everything after is
+  *      vocabulary-sized, so training cost is independent of corpus bytes.
+  *   2. TRAIN ON THE VOCAB: the classic iterative pair-count/merge loop
+  *      runs driver-side over the collected vocabulary — the same design
+  *      as every production BPE trainer (they train from word counts, not
+  *      by re-scanning the corpus per merge; 200 distributed iterations
+  *      would be 200 corpus-wide jobs for no benefit). The collect is
+  *      guarded like SubstrDedup's: vocabulary CARDINALITY and BYTES are
+  *      counted before anything is collected, and a corpus whose
+  *      pre-token vocabulary exceeds the budget must first raise
+  *      `minWordCount` (a frequency floor bounds natural-language vocab
+  *      to millions regardless of corpus size) — the loud-failure tier
+  *      pattern, not a silent OOM.
+  *   3. ENCODE: merge ranks broadcast (~nMerges entries); encoding is a
+  *      map-side UDF with a per-partition word→tokens memo (Zipf makes
+  *      the memo hit rate very high).
+  *
+  * Determinism contract (what the independent Python oracle replicates,
+  * tools/gen_bpe_golden.py):
+  *   - pre-tokenization: maximal runs of Unicode letters (\p{L}) | maximal
+  *     runs of Unicode numbers (\p{N}) | single other non-whitespace chars
+  *     — the same classes as q25's regex, implemented as an explicit
+  *     scanner so the JVM and Python sides share one spec;
+  *   - pair selection: highest weighted count, ties broken by the
+  *     lexicographically smallest (left, right) pair — ASCII-safe (the
+  *     golden tool asserts the corpus is ASCII; Java UTF-16 and Python
+  *     code-point ordering agree there);
+  *   - merge application: left-to-right, non-overlapping;
+  *   - training stops at `nMerges` or when the best pair count drops
+  *     below `minPairCount`;
+  *   - encoding: repeatedly merge the present pair with the LOWEST rank,
+  *     left-to-right non-overlapping, until no ranked pair remains.
+  */
+object Bpe {
+
+  final case class Config(
+      nMerges: Int = 200,
+      minPairCount: Long = 2,
+      /** frequency floor for vocabulary entries (1 = keep all) */
+      minWordCount: Long = 1,
+      /** driver-collect guards for the (word, count) vocabulary */
+      maxVocab: Long = 1L << 20,
+      maxVocabChars: Long = 32L << 20
+  ) {
+    require(nMerges >= 0, s"nMerges must be >= 0, got $nMerges")
+    require(minPairCount >= 2, s"minPairCount must be >= 2, got $minPairCount")
+    require(minWordCount >= 1, s"minWordCount must be >= 1, got $minWordCount")
+  }
+
+  /** Maximal \p{L}+ runs | maximal \p{N}+ runs | single other non-space
+    * chars. Explicit scanner equivalent to the q25 regex
+    * `\p{L}+|\p{N}+|[^\s\p{L}\p{N}]` (Java semantics: \s is ASCII
+    * whitespace, \p{L} all letter categories, \p{N} Nd|Nl|No). */
+  private[graft] def pretokenize(t: String): Array[String] = {
+    if (t == null || t.isEmpty) return Array.empty
+    def isSpace(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    def isNum(cp: Int): Boolean = {
+      val ty = Character.getType(cp)
+      ty == Character.DECIMAL_DIGIT_NUMBER || ty == Character.LETTER_NUMBER ||
+        ty == Character.OTHER_NUMBER
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    val n = t.length
+    while (i < n) {
+      val cp = t.codePointAt(i)
+      val w = Character.charCount(cp)
+      if (Character.isLetter(cp)) {
+        val start = i
+        i += w
+        while (i < n && Character.isLetter(t.codePointAt(i)))
+          i += Character.charCount(t.codePointAt(i))
+        out += t.substring(start, i)
+      } else if (isNum(cp)) {
+        val start = i
+        i += w
+        while (i < n && isNum(t.codePointAt(i)))
+          i += Character.charCount(t.codePointAt(i))
+        out += t.substring(start, i)
+      } else if (isSpace(t.charAt(i))) {
+        i += 1
+      } else {
+        out += t.substring(i, i + w)
+        i += w
+      }
+    }
+    out.toArray
+  }
+
+  /** Merge every left-to-right non-overlapping (a, b) occurrence. */
+  private def applyMerge(syms: Array[String], a: String, b: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += a + b
+        i += 2
+      } else {
+        out += syms(i)
+        i += 1
+      }
+    }
+    out.toArray
+  }
+
+  /** Train merges from a (word, count) vocabulary — pure function, used by
+    * both the Spark path and the tests' driver-side oracle. Returns the
+    * ordered merge list. */
+  private[graft] def train(
+      wordCounts: Seq[(String, Long)],
+      cfg: Config
+  ): Seq[(String, String)] = {
+    // deterministic iteration order regardless of upstream shuffle order
+    var words: Array[(Array[String], Long)] = wordCounts.sortBy(_._1)
+      .map { case (w, c) =>
+        (w.map(_.toString).toArray: Array[String], c)
+      }.toArray
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var done = false
+    while (rounds < cfg.nMerges && !done) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val k = (syms(i), syms(i + 1))
+          pc(k) = pc.getOrElse(k, 0L) + c
+          i += 1
+        }
+      }
+      if (pc.isEmpty) done = true
+      else {
+        // max count; ties -> lexicographically smallest (left, right)
+        val best = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        if (best._2 < cfg.minPairCount) done = true
+        else {
+          val (a, b) = best._1
+          merges += ((a, b))
+          words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+          rounds += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Distributed vocabulary aggregation + budget-guarded collect + driver
+    * training. The one corpus-wide pass; see scale-shape note above. */
+  def learn(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      cfg: Config = Config()
+  ): Seq[(String, String)] = {
+    import spark.implicits._
+    val preUdf = udf((t: String) => pretokenize(t))
+    // pinned so the budget probe and the collect share ONE corpus scan
+    val vocabDf = graft.run.Materialize.pin(docs
+      .select(explode(preUdf(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= cfg.minWordCount))
+    try {
+      // cardinality + byte budget BEFORE collecting (SubstrDedup pattern)
+      val stats = vocabDf
+        .agg(count(lit(1)).as("n"), coalesce(sum(length(col("w"))), lit(0L)).as("chars"))
+        .head
+      val (nVocab, vocabChars) = (stats.getLong(0), stats.getLong(1))
+      require(nVocab <= cfg.maxVocab && vocabChars <= cfg.maxVocabChars,
+        s"pre-token vocabulary ($nVocab entries, $vocabChars chars) exceeds " +
+          s"maxVocab=${cfg.maxVocab}/maxVocabChars=${cfg.maxVocabChars} — " +
+          "raise minWordCount (a frequency floor bounds natural-language " +
+          "vocabulary regardless of corpus size)")
+      train(vocabDf.as[(String, Long)].collect().toSeq, cfg)
+    } finally vocabDf.unpersist(false)
+  }
+
+  /** Greedy lowest-rank encoding of one pre-token. */
+  private[graft] def encodeWord(
+      w: String,
+      ranks: java.util.HashMap[String, Integer]
+  ): Array[String] = {
+    var syms: Array[String] = w.map(_.toString).toArray
+    var go = syms.length > 1
+    while (go) {
+      var bestRank = Int.MaxValue
+      var bestA: String = null
+      var bestB: String = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val r = ranks.get(syms(i) + " " + syms(i + 1))
+        if (r != null && r < bestRank) {
+          bestRank = r; bestA = syms(i); bestB = syms(i + 1)
+        }
+        i += 1
+      }
+      if (bestA == null) go = false
+      else {
+        syms = applyMerge(syms, bestA, bestB)
+        go = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Encode a corpus with a learned merge list:
+    * (idCol, textCol) -> (idCol, n_bpe_tokens, bpe_text) where bpe_text is
+    * the space-joined token sequence (pre-tokens never contain whitespace,
+    * so the join is lossless). */
+  def encode(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]
+  ): DataFrame = {
+    // rank table keyed by "a b": symbols come from whitespace-free
+    // pre-tokens, so the space separator is unambiguous — and a String key
+    // is cheaper than a tuple in the hot loop
+    val ranksLocal = {
+      val m = new java.util.HashMap[String, Integer](merges.size * 2)
+      merges.zipWithIndex.foreach { case ((a, b), i) =>
+        m.put(a + " " + b, Integer.valueOf(i))
+      }
+      m
+    }
+    val ranksB = spark.sparkContext.broadcast(ranksLocal)
+    val encUdf = udf { (t: String) =>
+      if (t == null) (0, null: String)
+      else {
+        val ranks = ranksB.value
+        // per-partition memo: Zipf distribution makes repeated pre-tokens
+        // the common case, so most words encode via one hash probe
+        val memo = BpeMemo.get()
+        val sb = new java.lang.StringBuilder(t.length + 16)
+        var n = 0
+        pretokenize(t).foreach { w =>
+          var toks = memo.get(w)
+          if (toks == null) {
+            toks = encodeWord(w, ranks)
+            memo.put(w, toks)
+          }
+          toks.foreach { tok =>
+            if (sb.length() > 0) sb.append(' ')
+            sb.append(tok)
+            n += 1
+          }
+        }
+        (n, sb.toString)
+      }
+    }
+    docs
+      .withColumn("_enc", encUdf(col(textCol)))
+      .select(col(idCol), col("_enc._1").as("n_bpe_tokens"),
+        col("_enc._2").as("bpe_text"))
+  }
+
+  /** learn + encode in one call (the q64 query shape). */
+  def learnEncode(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      cfg: Config = Config()
+  ): DataFrame =
+    encode(spark, docs, idCol, textCol, learn(spark, docs, textCol, cfg))
+}
+
+/** Executor-local word→tokens memo for Bpe.encode. Thread-local (tasks on
+  * one executor JVM run concurrently); bounded so a pathological corpus of
+  * unique words cannot grow it without limit. */
+private object BpeMemo {
+  private val tl = new ThreadLocal[java.util.LinkedHashMap[String, Array[String]]] {
+    override def initialValue(): java.util.LinkedHashMap[String, Array[String]] =
+      new java.util.LinkedHashMap[String, Array[String]](1 << 12, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Array[String]]): Boolean =
+          size() > (1 << 16)
+      }
+  }
+  def get(): java.util.LinkedHashMap[String, Array[String]] = tl.get()
+}
