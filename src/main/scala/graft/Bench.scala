@@ -54,6 +54,67 @@ object Bench {
   def force(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  /** Outcome of the self-adjudication rules — pure data so the rules are
+    * unit-testable against replayed captures (BenchAdjudicationSpec replays
+    * the round-4 contaminated capture literally). */
+  final case class Adjudication(
+      sentinelSpread: Double,
+      sentinelShuffleSpread: Double,
+      ratioMedian: Double,
+      outliers: Seq[String],
+      contaminated: Boolean)
+
+  private[graft] def spread(xs: Seq[Double]): Double =
+    if (xs.isEmpty || xs.min <= 0) 0.0 else xs.max / xs.min
+
+  /** Parse a reference profile (a previous clean bench_out.json): only its
+    * "queries" block plus the sf/cpus stamps are read, and a profile
+    * captured at a different sf or core count is ignored rather than
+    * mis-compared. Returns empty on any mismatch or parse failure. */
+  private[graft] def parseProfile(
+      txt: String, sfDir: String, cpus: String): Map[String, Double] = try {
+    val profSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
+    val profCpus = """"cpus"\s*:\s*"?(\d+)"?""".r.findFirstMatchIn(txt).map(_.group(1))
+    if (profSf.exists(_ != sfDir) || profCpus.exists(_ != cpus)) Map.empty
+    else {
+      val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(qBlock)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  } catch { case _: Throwable => Map.empty }
+
+  /** The combined contamination rule (documented in README.md): a capture
+    * is flagged iff
+    *   (a) either sentinel's max/min spread exceeds 2x, OR
+    *   (b) any profiled query with profile >= 0.5 s ran > 3x its profile, OR
+    *   (c) the median of per-query best/profile ratios exceeds 1.5.
+    * (b)+(c) are what catching BENCH_r04 needed: its heavy queries ran
+    * 5-10x profile while both sentinels would have read clean. */
+  private[graft] def adjudicate(
+      sentinelScan: Seq[Double],
+      sentinelShuffle: Seq[Double],
+      best: Seq[(String, Double)],
+      profile: Map[String, Double]): Adjudication = {
+    val ratios = best.flatMap { case (k, v) =>
+      profile.get(k).filter(_ > 0).map(p => (k, v / p, p)) }
+    val ratioMedian =
+      if (ratios.isEmpty) 0.0
+      else {
+        val s = ratios.map(_._2).sorted
+        val n = s.size
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      }
+    // sub-half-second profiles are too jittery for a 3x rule — the median
+    // test still covers them in aggregate
+    val outliers = ratios.collect { case (k, r, p) if p >= 0.5 && r > 3.0 => k }
+    val contaminated =
+      spread(sentinelScan) > 2.0 || spread(sentinelShuffle) > 2.0 ||
+        outliers.nonEmpty || (ratios.nonEmpty && ratioMedian > 1.5)
+    Adjudication(spread(sentinelScan), spread(sentinelShuffle),
+      ratioMedian, outliers, contaminated)
+  }
+
   /** JSON string escape shared with Verify: control chars included — a
     * multi-line exception message must not break the machine-read line. */
   private def jstr(s: String): String = s.flatMap {
@@ -226,49 +287,19 @@ object Bench {
 
     val ok = results.filterNot { case (k, _) => errors.contains(k) }
 
-    // ---- self-adjudication: sentinel spreads + committed reference profile.
-    // A capture is flagged "contaminated" without any human re-run iff
-    //   (a) either sentinel's max/min spread exceeds 2x, OR
-    //   (b) any profiled query with profile >= 0.5 s ran > 3x its profile, OR
-    //   (c) the median of per-query best/profile ratios exceeds 1.5.
-    // (b)+(c) are what caught-in-hindsight BENCH_r04 needed: its heavy
-    // queries ran 5-10x profile while both sentinels would have read clean.
-    def spread(xs: Seq[Double]): Double =
-      if (xs.isEmpty || xs.min <= 0) 0.0 else xs.max / xs.min
+    // ---- self-adjudication: sentinel spreads + committed reference profile
+    // (the rules live in adjudicate()/parseProfile() above so
+    // BenchAdjudicationSpec can replay captures against them)
     val profilePath = sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_PROFILE.json")
-    // the profile file is a previous clean bench_out.json (same format);
-    // only its "queries" block plus the sf/cpus stamps are read, and a
-    // profile captured at a different sf or core count is ignored rather
-    // than mis-compared
     val profile: Map[String, Double] = try {
-      val txt = new String(
+      parseProfile(new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(profilePath)),
-        java.nio.charset.StandardCharsets.UTF_8)
-      val profSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1))
-      val profCpus = """"cpus"\s*:\s*"?(\d+)"?""".r.findFirstMatchIn(txt).map(_.group(1))
-      if (profSf.exists(_ != sfDir) || profCpus.exists(_ != cpus)) Map.empty
-      else {
-        val qBlock = """"queries"\s*:\s*\{([^}]*)\}""".r
-          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(qBlock)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+        java.nio.charset.StandardCharsets.UTF_8), sfDir, cpus)
     } catch { case _: Throwable => Map.empty }
-    val ratios = ok.flatMap { case (k, v) =>
-      profile.get(k).filter(_ > 0).map(p => (k, v / p, p)) }
-    val ratioMedian =
-      if (ratios.isEmpty) 0.0
-      else {
-        val s = ratios.map(_._2).sorted
-        val n = s.size
-        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
-      }
-    // sub-half-second profiles are too jittery for a 3x rule — the median
-    // test still covers them in aggregate
-    val outliers = ratios.collect { case (k, r, p) if p >= 0.5 && r > 3.0 => k }
-    val contaminated =
-      spread(sentinels.toSeq) > 2.0 || spread(sentinelsShuffle.toSeq) > 2.0 ||
-        outliers.nonEmpty || (ratios.nonEmpty && ratioMedian > 1.5)
+    val adj = adjudicate(sentinels.toSeq, sentinelsShuffle.toSeq, ok, profile)
+    val ratioMedian = adj.ratioMedian
+    val outliers = adj.outliers
+    val contaminated = adj.contaminated
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
     val spreadJson = spreads
       .map { case (k, ts) =>

@@ -384,6 +384,22 @@ object SparkEntry {
         graft.text.Bpe.Config(nMerges = 50)).orderBy("doc_id")
     }),
 
+    // the pretraining-prep composition: tokenize with the LEARNED tokenizer,
+    // then pack docs into fixed token-budget sequences per source — the
+    // `source` column rides encode()'s pass-through so the corpus is never
+    // re-joined by id, and packing is the scalable grouped prefix sum (q48
+    // machinery) over n_bpe_tokens instead of whitespace words
+    "q65_bpe_pack" -> ((s, dir) => {
+      val enc = graft.text.Bpe.learnEncode(s, docs(s, dir), "doc_id", "text",
+        graft.text.Bpe.Config(nMerges = 50), extraCols = Seq("source"))
+      graft.operators.Pack.manifestScalable(s,
+        enc.select("source", "doc_id", "n_bpe_tokens"),
+        groupCols = Seq("source"), orderCol = "doc_id",
+        weightCol = "n_bpe_tokens", budget = 512L)
+        .withColumnRenamed("sum_weight", "sum_tokens")
+        .orderBy("source", "bin")
+    }),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1008,6 +1024,20 @@ object SparkEntry {
         s"""SELECT doc_id, n_bpe_tokens, bpe_text
            FROM read_parquet('$golden/bpe_sf001.parquet')
            ORDER BY doc_id""",
+      // packing replayed over the independently-derived BPE token counts
+      // (same window-prefix-sum formulation as the q48 oracle, budget 512)
+      "q65_bpe_pack" ->
+        s"""WITH g AS (SELECT doc_id, n_bpe_tokens
+                       FROM read_parquet('$golden/bpe_sf001.parquet')),
+           d AS (SELECT doc.source, g.doc_id, g.n_bpe_tokens
+                 FROM g JOIN documents doc USING (doc_id)),
+           c AS (SELECT source, doc_id, n_bpe_tokens,
+                   sum(n_bpe_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) AS cum
+                 FROM d)
+           SELECT source, cast(floor((cum - n_bpe_tokens) / 512.0) as bigint) AS bin,
+                  count(*) AS n_docs, cast(sum(n_bpe_tokens) as bigint) AS sum_tokens
+           FROM c GROUP BY source, bin ORDER BY source, bin""",
       // the sketch estimate is golden-pinned by an independent Python
       // HyperLogLog++ (tools/gen_hll_golden.py: XXH64-long hashing, p=12
       // registers, linear-counting branch per the published algorithm);

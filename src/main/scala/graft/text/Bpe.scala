@@ -218,15 +218,19 @@ object Bpe {
   }
 
   /** Encode a corpus with a learned merge list:
-    * (idCol, textCol) -> (idCol, n_bpe_tokens, bpe_text) where bpe_text is
-    * the space-joined token sequence (pre-tokens never contain whitespace,
-    * so the join is lossless). */
+    * (idCol, textCol) -> (idCol, extraCols..., n_bpe_tokens, bpe_text)
+    * where bpe_text is the space-joined token sequence (pre-tokens never
+    * contain whitespace, so the join is lossless). `extraCols` ride through
+    * the projection so composing pipelines (e.g. token-budget packing by
+    * source, q65) keep their metadata without re-joining the corpus by id —
+    * the SubstrDedup pass-through pattern. */
   def encode(
       spark: SparkSession,
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      merges: Seq[(String, String)]
+      merges: Seq[(String, String)],
+      extraCols: Seq[String] = Nil
   ): DataFrame = {
     // rank table keyed by "a b": symbols come from whitespace-free
     // pre-tokens, so the space separator is unambiguous — and a String key
@@ -265,8 +269,8 @@ object Bpe {
     }
     docs
       .withColumn("_enc", encUdf(col(textCol)))
-      .select(col(idCol), col("_enc._1").as("n_bpe_tokens"),
-        col("_enc._2").as("bpe_text"))
+      .select(col(idCol) +: extraCols.map(col) :+
+        col("_enc._1").as("n_bpe_tokens") :+ col("_enc._2").as("bpe_text"): _*)
   }
 
   /** learn + encode in one call (the q64 query shape). */
@@ -275,9 +279,10 @@ object Bpe {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      cfg: Config = Config()
+      cfg: Config = Config(),
+      extraCols: Seq[String] = Nil
   ): DataFrame =
-    encode(spark, docs, idCol, textCol, learn(spark, docs, textCol, cfg))
+    encode(spark, docs, idCol, textCol, learn(spark, docs, textCol, cfg), extraCols)
 }
 
 /** Executor-local word→tokens memo for Bpe.encode. Thread-local (tasks on
