@@ -17,16 +17,21 @@ import org.apache.spark.sql.SparkSession
   *     rounds-1..4 protocol; kept for comparability with the BASELINE.md
   *     session tables).
   *
-  *   runMain graft.Scaling paired [nConvs] [pairs] [repsPerSide]
+  *   runMain graft.Scaling paired [nConvs] [pairs] [repsN] [reps4N]
   *     INTERLEAVED pairs: N,4N,N,4N,… within one invocation — each pair
-  *     boots a fresh 1×4 local-cluster, times repsPerSide reps, tears it
-  *     down, then immediately does the same at 4×4, so the two sides of a
-  *     pair run minutes apart and a host-noise burst hits both roughly
-  *     equally instead of poisoning one whole level. The reported
-  *     estimator is the MEDIAN OF PER-PAIR EFFICIENCIES
+  *     boots a fresh 1×4 local-cluster, times repsN reps, tears it
+  *     down, then immediately does the same at 4×4 for reps4N reps, so the
+  *     two sides of a pair run minutes apart and a host-noise burst hits
+  *     both roughly equally instead of poisoning one whole level. The
+  *     reported estimator is the MEDIAN OF PER-PAIR EFFICIENCIES
   *     ((bestSecN / bestSec4N) / 4 per pair) — burst-robust without any
   *     manual quiet-window hunting, which in round 4 cost ~2.5 h of
   *     retries across nine noisy sessions (VERDICT r4 task #5).
+  *     reps4N defaults to 2×repsN: measured burst asymmetry — the 16-core
+  *     side starves under neighbor load far more often than the 4-core
+  *     side (round-5 session 1: N reps spread ±8%, 4N reps spread 3×) —
+  *     and a 4N rep costs ~¼ of an N rep, so oversampling the noisy side
+  *     is nearly free and doubles the chance of catching a quiet slot.
   *
   * (cores = nExecutors × GRAFT_CORES_PER_EXEC, default 8 per executor;
   * paired mode fixes 4 cores/executor, the BASELINE.md shape. local-cluster
@@ -153,7 +158,8 @@ object Scaling {
     val coresPerExec = 4 // the BASELINE.md N=1×4 vs 4N=4×4 shape
     val nConvs = args.lift(1).map(_.toLong).getOrElse(200000L)
     val pairs = args.lift(2).map(_.toInt).getOrElse(5)
-    val repsPerSide = args.lift(3).map(_.toInt).getOrElse(2)
+    val repsN = args.lift(3).map(_.toInt).getOrElse(2)
+    val reps4N = args.lift(4).map(_.toInt).getOrElse(repsN * 2)
 
     // stage once up front (cheap local session; cached across sessions by
     // the _SUCCESS marker) so no pair's N side pays a one-time staging cost
@@ -171,17 +177,17 @@ object Scaling {
     case class Side(cores: Int, nTurns: Long, secs: Seq[Double]) {
       def best: Double = secs.min
     }
-    def runSide(nExecutors: Int): Side = {
+    def runSide(nExecutors: Int, reps: Int): Side = {
       val spark = buildSession(nExecutors, coresPerExec)
       try {
-        val (nTurns, secs) = measure(spark, dir, repsPerSide)
+        val (nTurns, secs) = measure(spark, dir, reps)
         Side(nExecutors * coresPerExec, nTurns, secs)
       } finally teardown(spark)
     }
 
     val results = (1 to pairs).map { p =>
-      val n = runSide(1)
-      val n4 = runSide(4)
+      val n = runSide(1, repsN)
+      val n4 = runSide(4, reps4N)
       val eff = (n.best / n4.best) / 4.0
       System.err.println(
         f"[scaling] pair $p: N best ${n.best}%.2f s, 4N best ${n4.best}%.2f s, efficiency $eff%.3f")
@@ -195,7 +201,7 @@ object Scaling {
     val bestN = results.map(_._1.best).min
     val bestN4 = results.map(_._2.best).min
     val json =
-      f"""{"scaling_paired":{"n_turns":$nTurns,"pairs":$pairs,"reps_per_side":$repsPerSide,"pair_results":$pairJson,"efficiencies":${fmt(effs)},"median_efficiency":${median(effs)}%.3f,"best_n_sec":$bestN%.2f,"best_n4_sec":$bestN4%.2f,"best_vs_best_efficiency":${(bestN / bestN4) / 4.0}%.3f,"n_turns_per_sec":${nTurns / bestN}%.1f,"n4_turns_per_sec":${nTurns / bestN4}%.1f}}"""
+      f"""{"scaling_paired":{"n_turns":$nTurns,"pairs":$pairs,"reps_n":$repsN,"reps_4n":$reps4N,"pair_results":$pairJson,"efficiencies":${fmt(effs)},"median_efficiency":${median(effs)}%.3f,"best_n_sec":$bestN%.2f,"best_n4_sec":$bestN4%.2f,"best_vs_best_efficiency":${(bestN / bestN4) / 4.0}%.3f,"n_turns_per_sec":${nTurns / bestN}%.1f,"n4_turns_per_sec":${nTurns / bestN4}%.1f}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "scaling_out.json")
     try Files.write(Paths.get(outFile),

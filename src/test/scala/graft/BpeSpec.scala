@@ -83,6 +83,63 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(got.find(_._1 == 501L).get._3.nonEmpty)
   }
 
+  test("training shuffles only the vocabulary, never the corpus") {
+    import spark.implicits._
+    // ~4 MB of text drawn from a tiny vocabulary: the (word,count)
+    // aggregation's exchange must be vocab-sized, not corpus-sized
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val r = new graft.gen.TranscriptGen.Rng(99L)
+    val docs = (0L until 2000L).map { i =>
+      (i, (0 until 300).map(_ => words(r.nextInt(words.length))).mkString(" "))
+    }.toDF("doc_id", "text").repartition(8).localCheckpoint(true)
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val merges =
+      try {
+        val m = Bpe.learn(spark, docs, "text", Bpe.Config(nMerges = 10))
+        Thread.sleep(1000) // let straggler task-end events drain
+        m
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(merges.nonEmpty)
+    // corpus ~4 MB; the vocab exchange (6 words + partial-agg rows) must be
+    // orders of magnitude smaller
+    assert(shuffleWrite.get() < 256 * 1024,
+      s"BPE training shuffled ${shuffleWrite.get()} bytes — the corpus must " +
+        "be reduced to (word,count) map-side before the exchange")
+  }
+
+  test("encoding is map-side only: zero exchanges in the executed plan") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i => (i, "spark shuffle spark scan"))
+      .toDF("doc_id", "text").localCheckpoint(true)
+    val enc = Bpe.encode(spark, docs, "doc_id", "text",
+      Seq(("s", "p"), ("sp", "a")), extraCols = Nil)
+    enc.collect()
+    val plan = enc.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"),
+      s"BPE encode must be a narrow projection, plan:\n$plan")
+  }
+
+  test("extraCols ride through encode without a re-join") {
+    import spark.implicits._
+    val docs = Seq((1L, "src_a", "ab ab"), (2L, "src_b", "cd"))
+      .toDF("doc_id", "source", "text")
+    val out = Bpe.encode(spark, docs, "doc_id", "text",
+      Seq(("a", "b")), extraCols = Seq("source"))
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "source", "n_bpe_tokens", "bpe_text"))
+    val rows = out.as[(Long, String, Int, String)].collect().sortBy(_._1)
+    assert(rows(0) === ((1L, "src_a", 2, "ab ab")))
+    assert(rows(1) === ((2L, "src_b", 2, "c d")))
+  }
+
   test("vocabulary budget guard fails loudly, frequency floor restores it") {
     import spark.implicits._
     // index encoded in LETTERS: a digit suffix would pre-tokenize into its
