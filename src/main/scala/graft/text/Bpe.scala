@@ -118,10 +118,12 @@ object Bpe {
     out.toArray
   }
 
-  /** Train merges from a (word, count) vocabulary — pure function, used by
-    * both the Spark path and the tests' driver-side oracle. Returns the
-    * ordered merge list. */
-  private[graft] def train(
+  /** Reference trainer: per-merge full-vocabulary recount — the simplest
+    * possible statement of the contract (highest weighted pair count, ties
+    * to the lexicographically smallest (left, right), overlapping adjacent
+    * positions all counted). Kept as the equivalence oracle for the
+    * incremental trainer below; O(nMerges × vocab) so tests only. */
+  private[graft] def trainReference(
       wordCounts: Seq[(String, Long)],
       cfg: Config
   ): Seq[(String, String)] = {
@@ -152,6 +154,96 @@ object Bpe {
           val (a, b) = best._1
           merges += ((a, b))
           words = words.map { case (syms, c) => (applyMerge(syms, a, b), c) }
+          rounds += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** Train merges from a (word, count) vocabulary — pure function, used by
+    * both the Spark path and the tests' driver-side oracle. Returns the
+    * ordered merge list.
+    *
+    * INCREMENTAL: a pair→count map, a pair→{word index} occurrence index,
+    * and a selection set ordered by (-count, left, right) are maintained
+    * across merges, so each round touches only the words that contain the
+    * merged pair (plus O(log) selection) instead of rescanning the whole
+    * vocabulary — the structure production BPE trainers use. At the budget
+    * ceiling (1M-word vocab) a 10k-merge training run stays tractable where
+    * the naive per-merge recount (O(merges × vocab × word len)) would not.
+    * Selection order and count semantics are BIT-IDENTICAL to
+    * [[trainReference]] (equivalence property in BpeSpec; the independent
+    * Python golden replicates the same contract). */
+  private[graft] def train(
+      wordCounts: Seq[(String, Long)],
+      cfg: Config
+  ): Seq[(String, String)] = {
+    import scala.collection.mutable
+    // deterministic base order regardless of upstream shuffle order
+    val sorted = wordCounts.sortBy(_._1)
+    val words: Array[Array[String]] =
+      sorted.map(_._1.map(_.toString).toArray: Array[String]).toArray
+    val counts: Array[Long] = sorted.map(_._2).toArray
+
+    val pc = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    // ordered by (-count, left, right): head == the selection rule.
+    // (count, left, right) is unique per live pair because `sel` always
+    // mirrors pc exactly (remove-old, insert-new on every count change).
+    val sel = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.by { case (c, a, b) => (-c, a, b) })
+
+    def bump(a: String, b: String, delta: Long): Unit = {
+      val k = (a, b)
+      val before = pc.getOrElse(k, 0L)
+      if (before > 0) sel.remove((before, a, b))
+      val after = before + delta
+      if (after > 0) {
+        pc(k) = after
+        sel.add((after, a, b))
+      } else {
+        pc.remove(k); ()
+      }
+    }
+    def indexWord(wi: Int, add: Boolean): Unit = {
+      val syms = words(wi)
+      val c = counts(wi)
+      var i = 0
+      while (i + 1 < syms.length) {
+        val k = (syms(i), syms(i + 1))
+        if (add) {
+          bump(syms(i), syms(i + 1), c)
+          occ.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+        } else {
+          bump(syms(i), syms(i + 1), -c)
+          occ.get(k).foreach { s => s -= wi; if (s.isEmpty) { occ.remove(k); () } }
+        }
+        i += 1
+      }
+    }
+    words.indices.foreach(indexWord(_, add = true))
+
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var rounds = 0
+    var done = false
+    while (rounds < cfg.nMerges && !done) {
+      if (sel.isEmpty) done = true
+      else {
+        val (bestC, a, b) = sel.head
+        if (bestC < cfg.minPairCount) done = true
+        else {
+          merges += ((a, b))
+          // only the words containing (a,b) change; un-index them with
+          // their OLD symbol sequence, merge, re-index with the new one
+          // (counts are commutative sums, so HashSet iteration order
+          // cannot affect the result)
+          val affected = occ.get((a, b)).map(_.toArray).getOrElse(Array.empty)
+          affected.foreach { wi =>
+            indexWord(wi, add = false)
+            words(wi) = applyMerge(words(wi), a, b)
+            indexWord(wi, add = true)
+          }
           rounds += 1
         }
       }

@@ -45,6 +45,24 @@ class BpeSpec extends AnyFunSuite with SparkTestBase {
     assert(Bpe.train(Seq(("abab", 3L)), Bpe.Config(nMerges = 0)) === Seq())
   }
 
+  test("incremental trainer == naive full-recount reference, many vocabularies") {
+    // random vocabularies engineered for heavy tie-breaking and overlap
+    // (repeated letters make (x,x) pairs where left-to-right non-overlap
+    // application matters)
+    val r = new graft.gen.TranscriptGen.Rng(31337L)
+    val alphabet = "aabbc" // tiny alphabet -> dense pair collisions
+    (0 until 30).foreach { trial =>
+      val vocab = (0 until (3 + r.nextInt(40))).map { _ =>
+        val w = (0 until (1 + r.nextInt(8)))
+          .map(_ => alphabet(r.nextInt(alphabet.length))).mkString
+        (w, 1L + r.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val cfg = Bpe.Config(nMerges = 1 + r.nextInt(30))
+      assert(Bpe.train(vocab, cfg) === Bpe.trainReference(vocab, cfg),
+        s"trial $trial diverged, vocab=$vocab nMerges=${cfg.nMerges}")
+    }
+  }
+
   test("distributed learnEncode == driver-side first-principles reference") {
     import spark.implicits._
     val r = new graft.gen.TranscriptGen.Rng(7777L)
