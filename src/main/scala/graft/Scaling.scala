@@ -115,6 +115,23 @@ object Scaling {
     SparkSession.clearDefaultSession()
   }
 
+  /** QUIETEST-PAIR estimator (pure, replay-tested in ScalingSpec): given
+    * per-pair (bestN, best4N) seconds, pick the pair with the smallest total
+    * work-proxy bestN + 4×best4N ≈ core-seconds — host interference only
+    * ever ADDS time, and it inflates this proxy no matter which side a burst
+    * hits, so the minimum identifies the least-contended pair without a
+    * human judging windows. Returns (pairIndex, efficiency, loadProxySec).
+    * Across the three round-5 sessions, whose session MEDIANS swung
+    * 0.537→0.784 with window load, this statistic read 0.824/0.822/0.792 —
+    * stable where the median is load-hostage (BASELINE.md round-5 tables).
+    */
+  def quietestPair(bests: Seq[(Double, Double)]): (Int, Double, Double) = {
+    require(bests.nonEmpty, "quietestPair needs at least one pair")
+    val i = bests.indices.minBy(j => bests(j)._1 + 4 * bests(j)._2)
+    val (n, n4) = bests(i)
+    (i, (n / n4) / 4.0, n + 4 * n4)
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     // true median: even counts average the middle two (the upper-middle
@@ -195,13 +212,15 @@ object Scaling {
     }
     val effs = results.map(_._3)
     val nTurns = results.head._1.nTurns
+    val (_, quietEff, quietLoad) =
+      quietestPair(results.map { case (n, n4, _) => (n.best, n4.best) })
     val pairJson = results.map { case (n, n4, eff) =>
       f"""{"n_secs":${fmt(n.secs)},"n4_secs":${fmt(n4.secs)},"efficiency":$eff%.3f}"""
     }.mkString("[", ",", "]")
     val bestN = results.map(_._1.best).min
     val bestN4 = results.map(_._2.best).min
     val json =
-      f"""{"scaling_paired":{"n_turns":$nTurns,"pairs":$pairs,"reps_n":$repsN,"reps_4n":$reps4N,"pair_results":$pairJson,"efficiencies":${fmt(effs)},"median_efficiency":${median(effs)}%.3f,"best_n_sec":$bestN%.2f,"best_n4_sec":$bestN4%.2f,"best_vs_best_efficiency":${(bestN / bestN4) / 4.0}%.3f,"n_turns_per_sec":${nTurns / bestN}%.1f,"n4_turns_per_sec":${nTurns / bestN4}%.1f}}"""
+      f"""{"scaling_paired":{"n_turns":$nTurns,"pairs":$pairs,"reps_n":$repsN,"reps_4n":$reps4N,"pair_results":$pairJson,"efficiencies":${fmt(effs)},"median_efficiency":${median(effs)}%.3f,"quietest_pair_efficiency":$quietEff%.3f,"quietest_pair_load_sec":$quietLoad%.2f,"best_n_sec":$bestN%.2f,"best_n4_sec":$bestN4%.2f,"best_vs_best_efficiency":${(bestN / bestN4) / 4.0}%.3f,"n_turns_per_sec":${nTurns / bestN}%.1f,"n4_turns_per_sec":${nTurns / bestN4}%.1f}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "scaling_out.json")
     try Files.write(Paths.get(outFile),
