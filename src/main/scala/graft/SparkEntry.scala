@@ -400,6 +400,23 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // SemDeDup (Abbas et al. 2023): k-means-cluster the embedding space,
+    // within each cluster cut ε-cosine duplicate groups keeping the
+    // lowest-centroid-similarity member (the paper's diversity rule).
+    // Same planted near-copies as q21 so duplicate groups exist at every sf.
+    "q66_semdedup" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+        .select("vec_id", "embedding").as[(Long, Array[Float])]
+      val planted = emb.filter(_._1 % 20 == 0).map { case (id, v) =>
+        (id + 1000000L, v.zipWithIndex.map { case (x, i) =>
+          if (i % 7 == 0) x + 1e-4f else x })
+      }
+      graft.dedup.SemDedup.dedup(s,
+        emb.union(planted).toDF("vec_id", "embedding"), k = 32, eps = 0.98)
+        .orderBy("vec_id")
+    }),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1196,6 +1213,14 @@ object SparkEntry {
         s"""SELECT query_id, vec_id, score, rank
            FROM read_parquet('$golden/ann_ivf_sf001.parquet')
            ORDER BY query_id, rank""",
+      // SemDeDup replayed end-to-end by an independent Python chain
+      // (tools/gen_semdedup_golden.py: same planted near-copies, the q34
+      // k-means replication, nearest-centroid assignment + centroid cosine,
+      // within-cluster exact-cosine union-find, lowest-centroid-cos keeper)
+      "q66_semdedup" ->
+        s"""SELECT vec_id, list_id, group_id, keep, centroid_cos
+           FROM read_parquet('$golden/semdedup_sf001.parquet')
+           ORDER BY vec_id""",
       "q23_media_ann" ->
         s"""SELECT query_id, vec_id, score, rank
            FROM read_parquet('$golden/media_ann_sf001.parquet')
