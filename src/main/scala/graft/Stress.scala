@@ -145,6 +145,46 @@ object Stress {
       (row.getLong(0), row.getLong(1))
     }
 
+    // SemDeDup at 50× scale: deterministic hash-derived embeddings (dim 32)
+    // with planted near-copies (id % 97 == 0), k=512 coarse clusters, and
+    // maxPairwise=2048 so the count-planned sub-cell SPLIT path (the
+    // 100-TB guard rail for over-cap clusters) is exercised, not just the
+    // single-cell path the sf0.01 oracle covers. Group/drop counts are the
+    // cross-round determinism evidence.
+    val semCorpus = {
+      import spark.implicits._
+      val dim = 32
+      val base = docs.select(col("id"), xxhash64(col("text")).as("h"))
+        .as[(Long, Long)]
+        .map { case (id, h) =>
+          val v = Array.tabulate(dim) { d =>
+            (((graft.gen.TranscriptGen.mix64(h ^ (d * 1000003L + 7L)) >>> 11)
+              * (1.0 / (1L << 53))) - 0.5).toFloat
+          }
+          (id, v)
+        }
+      val planted = base.filter(_._1 % 97 == 0).map { case (id, v) =>
+        (id + 1000000000L, v.zipWithIndex.map { case (x, i) =>
+          if (i % 8 == 0) x + 1e-3f else x })
+      }
+      base.union(planted).toDF("vec_id", "embedding")
+        .localCheckpoint(true) // the two tiers below must not re-synthesize
+    }
+    def semRun(maxPairwise: Int): (Long, Long, Long) = {
+      val out = graft.dedup.SemDedup.dedup(spark, semCorpus,
+        k = 512, eps = 0.98, maxPairwise = maxPairwise)
+      val row = out.agg(
+        countDistinct(col("group_id")),
+        sum(when(col("keep"), 0L).otherwise(1L)),
+        count(lit(1))).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val ((semGroups, semDropped, semRows), semSec) = timed(semRun(2048))
+    // the same corpus with the sub-cell SPLIT forced (cap 256 < the ~300
+    // average cluster size): the over-cap guard rail provably runs at
+    // scale; the recall delta vs the entry above is the documented cost
+    val ((semSpGroups, semSpDropped, _), semSpSec) = timed(semRun(256))
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -168,6 +208,8 @@ object Stress {
         f""""bloom_incremental":{"sec":$biSec%.1f,"rows":$biRows},""" +
         f""""substr_dedup":{"sec":$sdSec%.1f,"spans":$sdSpans,"chars_removed":$sdRemoved},""" +
         f""""substr_dedup_dist":{"sec":$sdDistSec%.1f,"spans":$sdDistSpans,"chars_removed":$sdDistRemoved},""" +
+        f""""semdedup":{"sec":$semSec%.1f,"rows":$semRows,"groups":$semGroups,"dropped":$semDropped},""" +
+        f""""semdedup_split":{"sec":$semSpSec%.1f,"groups":$semSpGroups,"dropped":$semSpDropped},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
