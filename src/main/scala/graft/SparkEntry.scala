@@ -417,6 +417,27 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Trained quality classifier (GPT-3 Appendix A / CCNet): logistic
+    // regression over hashed byte-trigram features — positives = the real
+    // documents corpus, negatives = deterministically digit-corrupted
+    // copies (the published reference-vs-noise setup, negative class
+    // synthesized since the sandbox has no unfiltered crawl). Training is
+    // driver-side sequential SGD on a bounded hash-ordered sample (the
+    // Ivf.train determinism precedent); scoring is one broadcast-weights
+    // narrow pass over the corpus.
+    "q67_quality_classifier" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select("doc_id", "text").as[(Long, String)]
+      val labeled = base.map { case (id, t) => (id, t, 1) }
+        .union(base.map { case (id, t) =>
+          (id + 1000000L, graft.quality.Classifier.corrupt(id, t), 0)
+        })
+        .toDF("doc_id", "text", "label")
+      val model = graft.quality.Classifier.train(s, labeled)
+      graft.quality.Classifier.score(s, labeled, model, extraCols = Seq("label"))
+        .orderBy("doc_id")
+    }),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1213,6 +1234,15 @@ object SparkEntry {
         s"""SELECT query_id, vec_id, score, rank
            FROM read_parquet('$golden/ann_ivf_sf001.parquet')
            ORDER BY query_id, rank""",
+      // the trained classifier replayed end-to-end by an independent
+      // Python chain (tools/gen_classifier_golden.py: byte-level
+      // corruption, trigram-bucket featurization, sequential SGD in the
+      // same hash order, float32-truncated sigmoid) — weights, scores and
+      // predictions are a pure function of (corpus, seed) on both sides
+      "q67_quality_classifier" ->
+        s"""SELECT doc_id, label, score, pred
+           FROM read_parquet('$golden/classifier_sf001.parquet')
+           ORDER BY doc_id""",
       // SemDeDup replayed end-to-end by an independent Python chain
       // (tools/gen_semdedup_golden.py: same planted near-copies, the q34
       // k-means replication, nearest-centroid assignment + centroid cosine,

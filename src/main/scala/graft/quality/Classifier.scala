@@ -1,0 +1,166 @@
+package graft.quality
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.TranscriptGen.mix64
+
+/** Trained document-quality classifier — logistic regression over hashed
+  * byte-trigram features, the GPT-3/CCNet pattern (Brown et al. 2020 §A
+  * trained a LR quality classifier over hashed features to filter
+  * CommonCrawl against a high-quality reference; CCNet keeps per-doc
+  * scores the same way). Complements the UNSUPERVISED quality surface
+  * ([[Heuristics]] rules, [[Perplexity]] KN scorer, [[LangId]]) with the
+  * supervised distillation step a production pipeline runs at the front.
+  *
+  * Determinism contract (the oracle story, mirroring [[graft.sim.Ivf]]):
+  *   - TRAIN on a bounded hash-ordered sample collected to the driver
+  *     (production quality classifiers train on 10^4–10^6 labeled docs —
+  *     driver-scale by nature; the CORPUS never reaches the driver), with
+  *     sequential per-example SGD in sample-hash order: every float op has
+  *     a fixed order, so the weights are a pure function of (input, seed).
+  *   - The one transcendental (sigmoid's exp) is truncated to float32,
+  *     absorbing any JVM-vs-libm ulp difference with probability
+  *     ~1-2^-29 per call (the gen_ann_golden.py Box-Muller precedent) —
+  *     a mismatch would be a hard oracle red, not silent drift.
+  *   - INFER distributed: broadcast weights (nBuckets floats — ~256 KB),
+  *     one narrow map over the corpus, no shuffle. The 100-TB path.
+  *
+  * Features: UTF-8 byte trigrams (language-agnostic, allocation-light,
+  * and byte-for-byte replicable outside the JVM — no UTF-16 code-unit
+  * coupling), bucket = floorMod(mix64(seed ^ (b0<<16|b1<<8|b2)), nBuckets),
+  * value = count / nTrigrams (L1-normalized), dot products accumulated in
+  * float64 over ASCENDING bucket index.
+  *
+  * Re-derived end-to-end by tools/gen_classifier_golden.py (q67 oracle).
+  */
+object Classifier {
+
+  final case class Config(
+      nBuckets: Int = 1 << 16,
+      sampleSize: Int = 2048,
+      epochs: Int = 3,
+      lr: Double = 0.5,
+      seed: Long = 29L)
+
+  final case class Model(weights: Array[Double], bias: Double, nBuckets: Int, seed: Long)
+    extends Serializable {
+
+    /** sigmoid(w·x + b), sigmoid truncated to float32 (see scaladoc). */
+    def score(text: String): Float = {
+      val (buckets, values) = Classifier.featurize(text, nBuckets, seed)
+      var z = bias
+      var i = 0
+      while (i < buckets.length) { z += weights(buckets(i)) * values(i); i += 1 }
+      (1.0 / (1.0 + math.exp(-z))).toFloat
+    }
+  }
+
+  /** Sparse L1-normalized byte-trigram counts, bucket indices ascending.
+    * Texts shorter than 3 bytes featurize to empty (score = sigmoid(bias)). */
+  def featurize(text: String, nBuckets: Int, seed: Long): (Array[Int], Array[Double]) = {
+    val bytes = text.getBytes(StandardCharsets.UTF_8)
+    val n = bytes.length - 2
+    if (n <= 0) return (Array.empty, Array.empty)
+    val counts = new java.util.TreeMap[Int, Int]()
+    var i = 0
+    while (i < n) {
+      val key = ((bytes(i) & 0xff) << 16) | ((bytes(i + 1) & 0xff) << 8) | (bytes(i + 2) & 0xff)
+      val b = java.lang.Math.floorMod(mix64(seed ^ key), nBuckets.toLong).toInt
+      counts.merge(b, 1, Integer.sum)
+      i += 1
+    }
+    val ks = new Array[Int](counts.size)
+    val vs = new Array[Double](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      ks(j) = e.getKey
+      vs(j) = e.getValue.toDouble / n
+      j += 1
+    }
+    (ks, vs)
+  }
+
+  /** Deterministic driver-side training on a hash-ordered bounded sample of
+    * `labeled` (columns: doc_id long, text string, label int 0/1).
+    * Sequential SGD in sample order — by the signed mix64(seed ^ doc_id)
+    * key, ties impossible in practice and broken by the sort's input order
+    * of a deterministic TakeOrdered. */
+  def train(spark: SparkSession, labeled: DataFrame, cfg: Config = Config()): Model = {
+    import spark.implicits._
+    val seed = cfg.seed
+    val sample = labeled
+      .select(col("doc_id"), col("text"), col("label"))
+      .as[(Long, String, Int)]
+      .map { case (id, t, y) => (mix64(seed ^ id), t, y) }
+      .orderBy(col("_1"))
+      .limit(cfg.sampleSize)
+      .collect()
+    require(sample.nonEmpty, "empty training sample")
+
+    val w = new Array[Double](cfg.nBuckets)
+    var b = 0.0
+    var e = 0
+    while (e < cfg.epochs) {
+      sample.foreach { case (_, text, y) =>
+        val (ks, vs) = featurize(text, cfg.nBuckets, seed)
+        var z = b
+        var i = 0
+        while (i < ks.length) { z += w(ks(i)) * vs(i); i += 1 }
+        val p = (1.0 / (1.0 + math.exp(-z))).toFloat
+        val g = p.toDouble - y
+        i = 0
+        while (i < ks.length) { w(ks(i)) -= cfg.lr * g * vs(i); i += 1 }
+        b -= cfg.lr * g
+      }
+      e += 1
+    }
+    Model(w, b, cfg.nBuckets, seed)
+  }
+
+  /** Distributed scoring: broadcast model, one narrow pass, no shuffle.
+    * (idCol, textCol) -> (idCol, extraCols..., score round6, pred) —
+    * `extraCols` ride through the projection (the Bpe.encode pass-through
+    * pattern) so label columns etc. need no corpus re-join. */
+  def score(
+      spark: SparkSession,
+      docs: DataFrame,
+      model: Model,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      extraCols: Seq[String] = Nil
+  ): DataFrame = {
+    val mB = spark.sparkContext.broadcast(model)
+    val scoreUdf = udf { (t: String) =>
+      val s = mB.value.score(if (t == null) "" else t)
+      (s.toDouble, s >= 0.5f)
+    }
+    docs
+      .withColumn("_sc", scoreUdf(col(textCol)))
+      .select(col(idCol) +: extraCols.map(col) :+
+        round(col("_sc._1"), 6).as("score") :+ col("_sc._2").as("pred"): _*)
+  }
+
+  /** Deterministic low-quality NEGATIVE for the reference-vs-noise training
+    * setup (GPT-3 Appendix A trains its filter on WebText positives vs raw
+    * CommonCrawl; with no unfiltered crawl in the sandbox the negative
+    * class is synthesized): every 3rd byte position holding an ASCII letter
+    * is replaced by a mix64-derived digit. Valid UTF-8 in → valid UTF-8 out
+    * (only single-byte ASCII letters are touched), and byte-level so the
+    * Python oracle replicates it exactly. */
+  def corrupt(docId: Long, text: String): String = {
+    val b = text.getBytes(StandardCharsets.UTF_8)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i)
+      if (i % 3 == 0 && ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')))
+        b(i) = ('0' + java.lang.Math.floorMod(mix64(docId * 1315423911L ^ i), 10L)).toByte
+      i += 1
+    }
+    new String(b, StandardCharsets.UTF_8)
+  }
+}
