@@ -438,6 +438,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Distributed interpolated Kneser-Ney bigram LM trainer (the CCNet
+    // pattern: train the LM on a curated corpus, score the crawl with it;
+    // Perplexity's char-trigram scorer trains driver-side on seed text —
+    // this is its corpus-scale counterpart). One corpus-sized bigram
+    // aggregation; every later shuffle is over the far smaller bigram-TYPE
+    // table. Top-500 head by (count desc, w1, w2).
+    "q68_kn_bigram" -> ((s, dir) =>
+      graft.text.KnTrainer.bigramModelTop(s, docs(s, dir), "text", topK = 500)),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1243,6 +1252,15 @@ object SparkEntry {
         s"""SELECT doc_id, label, score, pred
            FROM read_parquet('$golden/classifier_sf001.parquet')
            ORDER BY doc_id""",
+      // the KN trainer replayed by an independent pure-Python chain
+      // (tools/gen_kn_golden.py: CPython str.split() tokens — the actual
+      // parity target of the mode-A word spec — dict counts, and the same
+      // fixed-order count-ratio arithmetic; D=0.75 is exact in binary and
+      // there are no transcendentals, so the replication is bit-exact)
+      "q68_kn_bigram" ->
+        s"""SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn
+           FROM read_parquet('$golden/kn_bigram_sf001.parquet')
+           ORDER BY c12 DESC, w1, w2""",
       // SemDeDup replayed end-to-end by an independent Python chain
       // (tools/gen_semdedup_golden.py: same planted near-copies, the q34
       // k-means replication, nearest-centroid assignment + centroid cosine,

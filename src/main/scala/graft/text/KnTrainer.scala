@@ -1,0 +1,104 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernel.TextKernels.pyIsSpace
+
+/** Distributed interpolated Kneser-Ney bigram LM trainer — the corpus-scale
+  * counterpart of [[graft.quality.Perplexity]] (which trains char-trigram
+  * tables driver-side on seed text, the reference-scale setup). CCNet
+  * (Wenzek et al. 2020) trains its KenLM on a reference corpus and scores
+  * the crawl with it; this operator trains the n-gram model ON a corpus as
+  * a Spark aggregation, so the scorer's model can come from data the
+  * engine itself curates.
+  *
+  * Shape (all shuffles on AGGREGATED keys, never on documents):
+  *   1. flatMap docs → (w1, w2) bigrams (Python str.split() token parity —
+  *      the mode-A word spec, `TextKernels.splitWordCount`).
+  *   2. groupBy (w1, w2) count — the one corpus-sized exchange, map-side
+  *      combined.
+  *   3. context totals + forward type counts from groupBy(w1); backward
+  *      (continuation) type counts from groupBy(w2); bigram-type total as
+  *      one count(). All over the bigram-TYPE table, orders of magnitude
+  *      smaller than the corpus.
+  *   4. P_KN(w2|w1) = (max(c12 − D, 0) + D·N1+(w1·)·Pcont(w2)) / c(w1·),
+  *      Pcont(w2) = N1+(·w2) / N1+(··), absolute discount D = 0.75 (exact
+  *      in binary — the arithmetic is count ratios, no transcendentals, so
+  *      the independent Python oracle replicates it op-for-op).
+  *
+  * Output: the `topK` bigrams by (c12 desc, w1, w2) with their counts and
+  * probability — the model head a scorer would broadcast; the full table
+  * is the same DataFrame without the limit.
+  */
+object KnTrainer {
+
+  /** Python str.split() parity tokens (same whitespace set as
+    * `TextKernels.splitWordCount`, which is golden-pinned vs CPython). */
+  def pyTokens(text: String): Array[String] = {
+    if (text == null || text.isEmpty) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      if (pyIsSpace(cp)) {
+        if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      } else sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) out += sb.toString
+    out.toArray
+  }
+
+  /** The P_KN column from count columns (fixed op order — the oracle
+    * contract): (max(c12 − D, 0) + (D·n1p_fwd)·(n1p_bwd / n1p_all)) / c1. */
+  private def pKn(discount: Double, n1pAll: Long): Column =
+    (greatest(col("c12").cast("double") - lit(discount), lit(0.0)) +
+      (lit(discount) * col("n1p_fwd").cast("double")) *
+        (col("n1p_bwd").cast("double") / lit(n1pAll.toDouble))) /
+      col("c1").cast("double")
+
+  /** Full bigram model table: (w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn). */
+  def bigramModel(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val bigrams = docs.select(col(textCol))
+      .as[String]
+      .flatMap { t =>
+        val ws = pyTokens(t)
+        (0 until ws.length - 1).iterator.map(i => (ws(i), ws(i + 1)))
+      }
+      .toDF("w1", "w2")
+    val types = graft.run.Materialize.pin(
+      // reused by three aggregations + the scalar count below: pin once so
+      // the corpus-sized bigram exchange runs exactly once (reliable
+      // checkpoint when spark.graft.checkpointDir is set — the 100-TB mode)
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+    val byW1 = types.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fwd"))
+    val byW2 = types.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
+    val n1pAll = types.count()
+    types
+      .join(byW1, Seq("w1"))
+      .join(byW2, Seq("w2"))
+      .withColumn("p_kn", round(pKn(discount, n1pAll), 6))
+      .select("w1", "w2", "c12", "c1", "n1p_fwd", "n1p_bwd", "p_kn")
+  }
+
+  /** The topK head by (c12 desc, w1, w2) — a TakeOrdered, no global sort. */
+  def bigramModelTop(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      topK: Int,
+      discount: Double = 0.75
+  ): DataFrame =
+    bigramModel(spark, docs, textCol, discount)
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(topK)
+}

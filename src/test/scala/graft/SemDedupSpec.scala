@@ -121,6 +121,15 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     assert(kept.select("vec_id").as[Long].collect().sorted === keepIds)
   }
 
+  test("dedup plan has exactly one Exchange — the (cluster, cell) embedding shuffle") {
+    val df = corpus(groups = 3, copies = 2)
+    val plan = SemDedup.dedup(spark, df, k = 3, eps = 0.98)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size -
+      "ReusedExchange".r.findAllIn(plan).size
+    assert(exchanges === 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+  }
+
   test("null embeddings are excluded, not NPE") {
     val df = corpus(groups = 2, copies = 2)
       .union(Seq((999L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
