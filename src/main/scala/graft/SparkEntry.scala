@@ -447,6 +447,19 @@ object SparkEntry {
     "q68_kn_bigram" -> ((s, dir) =>
       graft.text.KnTrainer.bigramModelTop(s, docs(s, dir), "text", topK = 500)),
 
+    // KN scorer — the other half of the CCNet loop: train on the curated
+    // seed (the even-doc_id half, deterministic), score the whole "crawl"
+    // with broadcast ARPA-style integer micro-nat tables (the odd half
+    // exercises every OOV/backoff branch). Scoring is one narrow
+    // zero-shuffle pass; scores are Long sums, so the distributed
+    // aggregation is partitioning-exact.
+    "q69_kn_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.KnScorer.trainAndScore(
+        s, d.where(col("doc_id") % 2 === 0), d, "text")
+        .orderBy("doc_id")
+    }),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1261,6 +1274,16 @@ object SparkEntry {
         s"""SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn
            FROM read_parquet('$golden/kn_bigram_sf001.parquet')
            ORDER BY c12 DESC, w1, w2""",
+      // the KN scorer replayed by an independent pure-Python chain
+      // (tools/gen_kn_score_golden.py: trains on the even-doc_id half,
+      // quantizes each model entry to integer micro-nats — the single
+      // ln per entry is the only transcendental, and CPython math.log
+      // matches Java Math.log to the quantizer's 1e-10 margin — then
+      // scores with plain integer sums, which are order-exact)
+      "q69_kn_score" ->
+        s"""SELECT doc_id, n_bigrams, n_oov, score_micro
+           FROM read_parquet('$golden/kn_score_sf001.parquet')
+           ORDER BY doc_id""",
       // SemDeDup replayed end-to-end by an independent Python chain
       // (tools/gen_semdedup_golden.py: same planted near-copies, the q34
       // k-means replication, nearest-centroid assignment + centroid cosine,

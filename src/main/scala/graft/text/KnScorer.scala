@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scores documents under a [[KnTrainer]]-trained interpolated Kneser-Ney
+  * bigram LM — the second half of the CCNet pattern (Wenzek et al. 2020):
+  * train the LM on a curated seed corpus (q68), score the crawl with it.
+  * This is the corpus-trained counterpart of the driver-side char-trigram
+  * scorer in [[graft.quality.Perplexity]] (reference analog: the quality
+  * heuristics in `src/CorpusAid.py` have no LM; the north-star spec calls
+  * for "broadcast ARPA-style hash tables", which is exactly this shape).
+  *
+  * Exactness design — integer micro-nats:
+  * log-probabilities are quantized ONCE PER MODEL ENTRY to integer
+  * micro-nats, `floor(ln(p) * 1e6 + 0.5)`, and a document's score is the
+  * plain Long SUM of its bigrams' micro-nats. Integer addition is
+  * associative, so the distributed aggregation is order- and
+  * partitioning-independent — no floating-point drift across cluster
+  * sizes, and the independent Python oracle replicates scores exactly.
+  * (`Math.log` and CPython's `math.log` agree bit-for-bit on >99.9% of
+  * count-ratio inputs on this platform and differ by at most 1 ulp on the
+  * rest; a 1-ulp difference flips the micro-nat rounding only when
+  * `ln(p)*1e6` sits within ~1e-10 of a half-integer — probability ~2e-13
+  * per model entry.)
+  *
+  * ARPA-style tables, all keyed on aggregated model entries (never on
+  * documents), broadcast once per job:
+  *   - pair(w1)(w2)  = micro(ln p_KN(w2|w1)) for seen bigrams — p_KN is the
+  *     UNROUNDED fixed-op-order count-ratio chain of [[KnTrainer]] (the
+  *     pre-round doubles the q68 oracle proved bit-exact cross-language;
+  *     the 6-dp-rounded column is NOT used because a rare bigram under a
+  *     high-frequency context can round to 0.0 and ln(0) = -inf);
+  *   - ctx(w1)       = micro(ln((D * N1+(w1 .)) / c(w1 .))) — the backoff
+  *     weight of a seen context;
+  *   - cont(w2)      = micro(ln(N1+(. w2) / N1+(. .))) — the continuation
+  *     probability of a seen right word;
+  *   - unkMicro      = micro(ln(1 / (N1+(. .) + 1))) — the floor for a
+  *     never-seen continuation.
+  * Scoring rule per adjacent token pair (a, b):
+  *   seen pair            → pair(a)(b)
+  *   unseen pair, a seen  → ctx(a) + (cont(b) | unkMicro)   [n_oov += 1]
+  *   a unseen             →          (cont(b) | unkMicro)   [n_oov += 1]
+  *
+  * 100-TB shape: the model is bounded by the SEED corpus (CCNet trains on
+  * Wikipedia-scale seeds), not by the crawl being scored, so a guarded
+  * driver collect + broadcast is the correct architecture — scoring itself
+  * is one narrow pass over the crawl with zero shuffles. The collect is
+  * budget-guarded by entry count AND bytes and fails loudly over budget
+  * (raise the budget or train on a smaller seed; there is no silent
+  * truncation).
+  */
+object KnScorer {
+
+  final case class Model(
+      pair: java.util.HashMap[String, java.util.HashMap[String, java.lang.Integer]],
+      ctx: java.util.HashMap[String, java.lang.Integer],
+      cont: java.util.HashMap[String, java.lang.Integer],
+      unkMicro: Int
+  ) extends Serializable
+
+  /** `floor(ln(p) * 1e6 + 0.5)` — the canonical quantizer; the Python
+    * oracle applies `math.floor(math.log(p) * 1e6 + 0.5)` to the same
+    * IEEE double. */
+  private def micro(p: Double): Int =
+    math.floor(math.log(p) * 1e6 + 0.5).toInt
+
+  /** Builds the broadcastable model from [[KnTrainer.bigramModel]] output
+    * (columns w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn).
+    *
+    * @param maxEntries loud-failure cap on bigram types collected
+    * @param maxBytes   loud-failure cap on total key bytes collected
+    */
+  def buildModel(
+      modelDf: DataFrame,
+      discount: Double = 0.75,
+      maxEntries: Long = 10000000L,
+      maxBytes: Long = 512L * 1024 * 1024
+  ): Model = {
+    val stats = modelDf
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("w1")) + length(col("w2"))), lit(0L)).as("b"))
+      .head()
+    val (n, bytes) = (stats.getLong(0), stats.getLong(1))
+    require(
+      n <= maxEntries && bytes <= maxBytes,
+      s"kn_scorer: model has $n bigram types / $bytes key bytes, over the " +
+        s"driver-collect budget ($maxEntries entries / $maxBytes bytes). " +
+        "Train on a smaller seed corpus or raise the budget — the model " +
+        "must remain broadcastable; it is bounded by the seed, not the crawl.")
+
+    val rows = modelDf
+      .select("w1", "w2", "c12", "c1", "n1p_fwd", "n1p_bwd")
+      .collect()
+    val pair =
+      new java.util.HashMap[String, java.util.HashMap[String, java.lang.Integer]]()
+    val ctx = new java.util.HashMap[String, java.lang.Integer]()
+    val cont = new java.util.HashMap[String, java.lang.Integer]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val w1 = r.getString(0)
+      val w2 = r.getString(1)
+      val c12 = r.getLong(2).toDouble
+      val c1 = r.getLong(3).toDouble
+      val fwd = r.getLong(4).toDouble
+      val bwd = r.getLong(5).toDouble
+      // the q68 fixed op order, unrounded:
+      val p = (math.max(c12 - discount, 0.0) +
+        (discount * fwd) * (bwd / n.toDouble)) / c1
+      pair
+        .computeIfAbsent(w1, _ => new java.util.HashMap[String, java.lang.Integer]())
+        .put(w2, micro(p))
+      if (!ctx.containsKey(w1))
+        ctx.put(w1, micro((discount * fwd) / c1))
+      if (!cont.containsKey(w2))
+        cont.put(w2, micro(bwd / n.toDouble))
+      i += 1
+    }
+    Model(pair, ctx, cont, micro(1.0 / (n.toDouble + 1.0)))
+  }
+
+  /** One narrow zero-shuffle pass over `docs`: (doc_id, n_bigrams, n_oov,
+    * score_micro). Tokens are mode-A ([[KnTrainer.pyTokens]]); docs with
+    * fewer than two tokens score (0, 0, 0). */
+  def score(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      model: Model,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val m = bc.value
+        val ws = KnTrainer.pyTokens(text)
+        var s = 0L
+        var oov = 0L
+        var i = 1
+        while (i < ws.length) {
+          val a = ws(i - 1)
+          val b = ws(i)
+          val inner = m.pair.get(a)
+          val hit: java.lang.Integer = if (inner == null) null else inner.get(b)
+          if (hit != null) s += hit.longValue
+          else {
+            oov += 1
+            val contB = m.cont.get(b)
+            val base = if (contB == null) m.unkMicro.toLong else contB.longValue
+            val cw = m.ctx.get(a)
+            s += (if (cw == null) base else cw.longValue + base)
+          }
+          i += 1
+        }
+        (id, math.max(0, ws.length - 1).toLong, oov, s)
+      }
+      .toDF(idCol, "n_bigrams", "n_oov", "score_micro")
+  }
+
+  /** Train-on-`seed`, score-`docs` in one call (the CCNet composition). */
+  def trainAndScore(
+      spark: SparkSession,
+      seed: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame =
+    score(spark, docs, textCol,
+      buildModel(KnTrainer.bigramModel(spark, seed, textCol, discount), discount))
+}
