@@ -460,6 +460,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
+    // by mean in-model log-prob and cut into head/middle/tail terciles.
+    // Rank+count come from the scalable GroupedRank machinery (range
+    // exchange), never a single-partition global window; the tercile is
+    // the exact ANSI ntile arithmetic, so the DuckDB oracle replays it
+    // with ntile(3) over the committed q69 golden.
+    "q70_ccnet_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = graft.text.KnScorer.trainAndScore(
+        s, d.where(col("doc_id") % 2 === 0), d, "text")
+        .where(col("n_bigrams") > 0)
+        .withColumn("m",
+          col("score_micro").cast("double") / col("n_bigrams").cast("double"))
+      graft.sample.GroupedRank.rank(
+        s, scored, lit(0), Seq(col("m").desc, col("doc_id")))
+        .withColumn("bucket",
+          element_at(array(lit("head"), lit("middle"), lit("tail")),
+            graft.sample.GroupedRank.ntileExpr(
+              col("group_rank"), col("group_count"), 3).cast("int")))
+        .select("doc_id", "n_bigrams", "n_oov", "score_micro", "bucket")
+        .orderBy("doc_id")
+    }),
+
     // UAX#29 word counting (report word-count mode B, reference
     // rust_preview/src/lib.rs:59-65)
     "q26_uax29_words" -> ((s, dir) => {
@@ -1284,6 +1307,21 @@ object SparkEntry {
         s"""SELECT doc_id, n_bigrams, n_oov, score_micro
            FROM read_parquet('$golden/kn_score_sf001.parquet')
            ORDER BY doc_id""",
+      // CCNet terciles replayed in SQL over the same golden: the mean
+      // log-prob is one IEEE double division of the golden's exact
+      // integers (bit-identical on both sides), and ntile(3) is the same
+      // ANSI arithmetic as GroupedRank.ntileExpr
+      "q70_ccnet_buckets" ->
+        s"""WITH s AS (SELECT doc_id, n_bigrams, n_oov, score_micro,
+                  score_micro::DOUBLE / n_bigrams::DOUBLE AS m
+                FROM read_parquet('$golden/kn_score_sf001.parquet')
+                WHERE n_bigrams > 0),
+             r AS (SELECT *, ntile(3) OVER (ORDER BY m DESC, doc_id) AS t
+                FROM s)
+           SELECT doc_id, n_bigrams, n_oov, score_micro,
+                  CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS bucket
+           FROM r ORDER BY doc_id""",
       // SemDeDup replayed end-to-end by an independent Python chain
       // (tools/gen_semdedup_golden.py: same planted near-copies, the q34
       // k-means replication, nearest-centroid assignment + centroid cosine,

@@ -80,6 +80,28 @@ class KnScorerSpec extends AnyFunSuite with SparkTestBase {
     assert(got === ((0L, 6L)))
   }
 
+  test("CCNet tercile path (GroupedRank + ntileExpr) equals a global ntile window") {
+    val docs = spark.range(90).select(
+      $"id".as("doc_id"),
+      concat_ws(" ",
+        (0 to 5).map(i => concat(lit("w"), pmod($"id" * (i + 2) + i, lit(7)))) :+
+          concat(lit("uniq"), $"id"): _*).as("text"))
+    val m = KnScorer.buildModel(
+      KnTrainer.bigramModel(spark, docs.where($"doc_id" % 2 === 0), "text"))
+    val scored = KnScorer.score(spark, docs, "text", m)
+      .where($"n_bigrams" > 0)
+      .withColumn("mm", $"score_micro".cast("double") / $"n_bigrams".cast("double"))
+    val viaRank = graft.sample.GroupedRank.rank(
+      spark, scored, lit(0), Seq($"mm".desc, $"doc_id"))
+      .withColumn("t", graft.sample.GroupedRank.ntileExpr(
+        $"group_rank", $"group_count", 3).cast("int"))
+      .select("doc_id", "t").orderBy("doc_id").collect()
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"mm".desc, $"doc_id")
+    val viaWindow = scored.withColumn("t", ntile(3).over(w))
+      .select("doc_id", "t").orderBy("doc_id").collect()
+    assert(viaRank === viaWindow)
+  }
+
   test("over-budget model fails loudly, never truncates") {
     val e = intercept[IllegalArgumentException] {
       KnScorer.buildModel(KnTrainer.bigramModel(spark, seed, "text"), maxEntries = 2)
