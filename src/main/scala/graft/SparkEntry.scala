@@ -460,6 +460,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental KN maintenance: fold the odd-doc_id increment into the
+    // even-half model's type table WITHOUT re-reading the existing corpus
+    // (the Incremental/incremental-BPE pattern — (w1,w2,c12) is a
+    // sufficient statistic). Output contract identical to q68, so the
+    // oracle is the SAME committed golden: update == retrain, value-exact.
+    "q71_kn_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = graft.text.KnTrainer.countTypes(
+        s, d.where(col("doc_id") % 2 === 0), "text")
+      val merged = graft.text.KnTrainer.updateTypes(
+        s, base, d.where(col("doc_id") % 2 =!= 0), "text")
+      graft.text.KnTrainer.modelFromTypes(s, merged)
+        .orderBy(col("c12").desc, col("w1"), col("w2"))
+        .limit(500)
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1307,6 +1323,12 @@ object SparkEntry {
         s"""SELECT doc_id, n_bigrams, n_oov, score_micro
            FROM read_parquet('$golden/kn_score_sf001.parquet')
            ORDER BY doc_id""",
+      // incremental update == full retrain, so the q68 golden IS the
+      // oracle (same top-500 contract over the same corpus)
+      "q71_kn_incremental" ->
+        s"""SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn
+           FROM read_parquet('$golden/kn_bigram_sf001.parquet')
+           ORDER BY c12 DESC, w1, w2""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact
       // integers (bit-identical on both sides), and ntile(3) is the same

@@ -59,26 +59,52 @@ object KnTrainer {
         (col("n1p_bwd").cast("double") / lit(n1pAll.toDouble))) /
       col("c1").cast("double")
 
-  /** Full bigram model table: (w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn). */
-  def bigramModel(
+  /** Raw bigram-TYPE counts (w1, w2, c12) — the model's sufficient
+    * statistic, and the unit of incremental maintenance. */
+  def countTypes(
       spark: SparkSession,
       docs: DataFrame,
-      textCol: String,
-      discount: Double = 0.75
+      textCol: String
   ): DataFrame = {
     import spark.implicits._
-    val bigrams = docs.select(col(textCol))
+    docs.select(col(textCol))
       .as[String]
       .flatMap { t =>
         val ws = pyTokens(t)
         (0 until ws.length - 1).iterator.map(i => (ws(i), ws(i + 1)))
       }
       .toDF("w1", "w2")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+  }
+
+  /** Incremental update: fold `newDocs` into an existing type table. The
+    * new corpus is aggregated once; the merge is one type-table-sized
+    * exchange — the existing corpus is NEVER re-read (the Incremental/
+    * incremental-BPE pattern). Because (w1, w2, c12) is a sufficient
+    * statistic for the whole model, `modelFromTypes(updateTypes(...))`
+    * is exactly equal to retraining from scratch on the union. */
+  def updateTypes(
+      spark: SparkSession,
+      prevTypes: DataFrame,
+      newDocs: DataFrame,
+      textCol: String
+  ): DataFrame =
+    prevTypes.select("w1", "w2", "c12")
+      .unionAll(countTypes(spark, newDocs, textCol))
+      .groupBy("w1", "w2").agg(sum("c12").as("c12"))
+
+  /** Model table from a (w1, w2, c12) type table:
+    * (w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn). */
+  def modelFromTypes(
+      spark: SparkSession,
+      typesRaw: DataFrame,
+      discount: Double = 0.75
+  ): DataFrame = {
     val types = graft.run.Materialize.pin(
       // reused by three aggregations + the scalar count below: pin once so
       // the corpus-sized bigram exchange runs exactly once (reliable
       // checkpoint when spark.graft.checkpointDir is set — the 100-TB mode)
-      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      typesRaw)
     val byW1 = types.groupBy("w1")
       .agg(sum("c12").as("c1"), count(lit(1)).as("n1p_fwd"))
     val byW2 = types.groupBy("w2").agg(count(lit(1)).as("n1p_bwd"))
@@ -89,6 +115,15 @@ object KnTrainer {
       .withColumn("p_kn", round(pKn(discount, n1pAll), 6))
       .select("w1", "w2", "c12", "c1", "n1p_fwd", "n1p_bwd", "p_kn")
   }
+
+  /** Full bigram model table: (w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn). */
+  def bigramModel(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame =
+    modelFromTypes(spark, countTypes(spark, docs, textCol), discount)
 
   /** The topK head by (c12 desc, w1, w2) — a TakeOrdered, no global sort. */
   def bigramModelTop(

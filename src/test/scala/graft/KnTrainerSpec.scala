@@ -91,6 +91,29 @@ class KnTrainerSpec extends AnyFunSuite with SparkTestBase {
     assert(KnTrainer.pyTokens("").isEmpty && KnTrainer.pyTokens(null).isEmpty)
   }
 
+  test("incremental update == retrain from scratch (sufficient statistic)") {
+    val docs = spark.range(120).select(
+      $"id".as("doc_id"),
+      concat_ws(" ",
+        (0 to 7).map(i => concat(lit("w"), pmod($"id" * (i + 2) + i, lit(9)))) :+
+          concat(lit("uniq"), pmod($"id", lit(40))): _*).as("text"))
+    val base = KnTrainer.countTypes(spark, docs.where($"doc_id" < 70), "text")
+    val merged = KnTrainer.updateTypes(spark, base, docs.where($"doc_id" >= 70), "text")
+    val inc = KnTrainer.modelFromTypes(spark, merged)
+      .orderBy("w1", "w2").collect()
+    val full = KnTrainer.bigramModel(spark, docs, "text")
+      .orderBy("w1", "w2").collect()
+    assert(inc === full)
+  }
+
+  test("empty increment is the identity") {
+    val base = KnTrainer.countTypes(spark, tiny, "text")
+    val merged = KnTrainer.updateTypes(spark, base,
+      Seq((9L, "")).toDF("doc_id", "text"), "text")
+    assert(KnTrainer.modelFromTypes(spark, merged).orderBy("w1", "w2").collect()
+      === KnTrainer.bigramModel(spark, tiny, "text").orderBy("w1", "w2").collect())
+  }
+
   test("topK head is the (c12 desc, w1, w2) prefix of the full table") {
     val full = KnTrainer.bigramModel(spark, tiny, "text")
       .orderBy($"c12".desc, $"w1", $"w2").limit(2)
