@@ -185,6 +185,25 @@ object Stress {
     // scale; the recall delta vs the entry above is the documented cost
     val ((semSpGroups, semSpDropped, _), semSpSec) = timed(semRun(256))
 
+    // corpus-trained KN bigram LM at 50× scale: train on the even-id half,
+    // score the WHOLE corpus with broadcast integer micro-nat tables. The
+    // reported score is a Long total of per-doc Long sums — associative,
+    // so it is partitioning/mode-invariant by construction, and any
+    // nondeterminism anywhere in the chain (tokenization, model
+    // arithmetic, broadcast) would move it. Entry/score/oov counts are
+    // the cross-round determinism evidence; time scales with corpus
+    // bytes (one bigram exchange for training, a narrow pass to score).
+    val ((knEntries, knScoreSum, knOov), knSec) = timed {
+      val model = graft.text.KnScorer.buildModel(
+        graft.text.KnTrainer.bigramModel(spark,
+          docs.where(col("id") % 2 === 0), "text"))
+      val scored = graft.text.KnScorer.score(spark, docs, "text", model, idCol = "id")
+      val row = scored.agg(sum(col("score_micro")), sum(col("n_oov"))).head()
+      import scala.jdk.CollectionConverters._
+      val entries = model.pair.values.asScala.map(_.size.toLong).sum
+      (entries, row.getLong(0), row.getLong(1))
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -210,6 +229,7 @@ object Stress {
         f""""substr_dedup_dist":{"sec":$sdDistSec%.1f,"spans":$sdDistSpans,"chars_removed":$sdDistRemoved},""" +
         f""""semdedup":{"sec":$semSec%.1f,"rows":$semRows,"groups":$semGroups,"dropped":$semDropped},""" +
         f""""semdedup_split":{"sec":$semSpSec%.1f,"groups":$semSpGroups,"dropped":$semSpDropped},""" +
+        f""""kn_train_score":{"sec":$knSec%.1f,"entries":$knEntries,"score_sum":$knScoreSum,"oov":$knOov},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
