@@ -476,6 +476,21 @@ object SparkEntry {
         .limit(500)
     }),
 
+    // Span-level benchmark decontamination (GPT-3 App. C / Lee et al.
+    // 2022): benchmark = 100-char excerpts of every 10th doc (the
+    // eval-quotes-web-text leak shape); cut every corpus span covered by
+    // a k=30 window appearing verbatim in the benchmark. One narrow
+    // zero-shuffle corpus pass (broadcast probe tables); the only
+    // exchange is the benchmark-sized distinct().
+    "q72_span_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d
+        .where(col("doc_id") % 10 === 0 && length(col("text")) >= 140)
+        .select(substring(col("text"), 41, 100).as("text"))
+      graft.text.SpanDecontaminate.cut(s, d, bench, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1329,6 +1344,15 @@ object SparkEntry {
         s"""SELECT w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn
            FROM read_parquet('$golden/kn_bigram_sf001.parquet')
            ORDER BY c12 DESC, w1, w2""",
+      // span decontamination replayed by an independent hash-free Python
+      // chain (tools/gen_spandecon_golden.py: probe windows as plain
+      // string slices, membership marking, the cutSpans merge rule — the
+      // Scala rolling hash is only a prefilter, so the contract needs no
+      // hash replication)
+      "q72_span_decontaminate" ->
+        s"""SELECT doc_id, cleaned, n_spans, chars_removed
+           FROM read_parquet('$golden/spandecon_sf001.parquet')
+           ORDER BY doc_id""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact
       // integers (bit-identical on both sides), and ntile(3) is the same
