@@ -491,6 +491,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Per-eval-item leak audit (reverse of q72): for each benchmark
+    // excerpt, how many of its distinct k=30 windows appear verbatim in
+    // the corpus (which excludes the eval sources — leakage is template
+    // twins). One narrow corpus pass; every exchange benchmark-bounded.
+    "q73_leak_report" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d
+        .where(col("doc_id") % 10 === 0 && length(col("text")) >= 140)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 41, 100).as("text"))
+      graft.text.SpanDecontaminate.leakReport(
+        s, d.where(col("doc_id") % 10 =!= 0), bench, "bench_id", "text")
+        .orderBy("bench_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1353,6 +1368,13 @@ object SparkEntry {
         s"""SELECT doc_id, cleaned, n_spans, chars_removed
            FROM read_parquet('$golden/spandecon_sf001.parquet')
            ORDER BY doc_id""",
+      // the leak audit replayed by the same hash-free Python chain style
+      // (tools/gen_leak_golden.py: distinct excerpt windows as string
+      // slices, membership against the twin corpus)
+      "q73_leak_report" ->
+        s"""SELECT bench_id, n_windows, n_found
+           FROM read_parquet('$golden/leak_sf001.parquet')
+           ORDER BY bench_id""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact
       // integers (bit-identical on both sides), and ntile(3) is the same

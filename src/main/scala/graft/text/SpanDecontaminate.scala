@@ -47,6 +47,94 @@ object SpanDecontaminate {
     require(maxProbeChars > 0, "maxProbeChars must be positive")
   }
 
+  /** Per-eval-item leak audit — the REVERSE direction of [[cut]]: for each
+    * benchmark document, how many of its DISTINCT k-char windows appear
+    * verbatim anywhere in the corpus ((bench_id, n_windows, n_found)).
+    * The fraction n_found/n_windows is the per-item contamination measure
+    * evaluation teams report before trusting a score.
+    *
+    * Shape: probe windows (benchmark-bounded, guarded) broadcast as the
+    * usual hash prefilter + string set; ONE narrow corpus pass emits only
+    * probe strings actually present (never corpus text), which distinct()
+    * down to at most the probe count; a left-semi join back against the
+    * per-item window table scores each eval item. The corpus is never
+    * shuffled. Hash-free contract (string membership decides), like
+    * [[cut]]. */
+  def leakReport(
+      spark: SparkSession,
+      docs: DataFrame,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      textCol: String,
+      cfg: Config = Config()
+  ): DataFrame = {
+    import spark.implicits._
+    val k = cfg.k
+    val winUdf = udf { (t: String) =>
+      if (t == null || t.length < k) Array.empty[String]
+      else Array.tabulate(t.length - k + 1)(i => t.substring(i, i + k)).distinct
+    }
+    // per-item DISTINCT windows (duplicate windows inside one eval item
+    // count once); pinned — reused as probe source and as the join side
+    val benchWins = Materialize.pin(
+      benchmark.select(col(benchIdCol), explode(winUdf(col(textCol))).as("w")))
+    val probesDf = benchWins.select("w").distinct()
+    val nProbes = probesDf.count()
+    require(nProbes <= cfg.maxProbes,
+      s"$nProbes distinct probe windows exceed maxProbes=${cfg.maxProbes} " +
+        "— raise k or split the benchmark set")
+    val sumChars = probesDf
+      .agg(coalesce(sum(length(col("w"))), lit(0L))).head.getLong(0)
+    require(sumChars <= cfg.maxProbeChars,
+      s"$sumChars probe chars exceed maxProbeChars=${cfg.maxProbeChars}")
+
+    val hashUdf = udf((w: String) => SubstrDedup.windowHashes(w, k)(0))
+    val hashArr = probesDf.select(hashUdf(col("w"))).as[Long].collect()
+    java.util.Arrays.sort(hashArr)
+    val hashB = spark.sparkContext.broadcast(hashArr)
+    val probes = probesDf.as[String].collect()
+    val probeSet = new java.util.HashSet[String](probes.length * 2)
+    probes.foreach(probeSet.add)
+    val probeB = spark.sparkContext.broadcast(probeSet)
+
+    // one narrow corpus pass: per doc, the probe strings it contains
+    // (per-doc set so the exchange carries ≤ |probes| strings per doc)
+    val foundUdf = udf { (t: String) =>
+      if (t == null) Array.empty[String]
+      else {
+        val hs = SubstrDedup.windowHashes(t, k)
+        val f = hashB.value
+        val p = probeB.value
+        val out = new java.util.HashSet[String]()
+        var i = 0
+        while (i < hs.length) {
+          if (java.util.Arrays.binarySearch(f, hs(i)) >= 0) {
+            val w = t.substring(i, i + k)
+            if (p.contains(w)) out.add(w)
+          }
+          i += 1
+        }
+        import scala.jdk.CollectionConverters._
+        out.asScala.toArray
+      }
+    }
+    val foundDf = Materialize.pin(docs
+      .select(explode(foundUdf(col(textCol))).as("w"))
+      .distinct())
+    val report = Materialize.pin(
+      benchWins
+        .join(foundDf.withColumnRenamed("w", "_fw"),
+          col("w") === col("_fw"), "left")
+        .groupBy(benchIdCol)
+        .agg(count(lit(1)).as("n_windows"),
+          count(col("_fw")).as("n_found")))
+    hashB.destroy()
+    probeB.destroy()
+    benchWins.unpersist(false)
+    foundDf.unpersist(false)
+    report
+  }
+
   /** `docs` (idCol, textCol, passengers...) cleaned against `benchmark`
     * (textCol only is read). Null/short corpus texts pass through with
     * zero spans. */

@@ -65,6 +65,21 @@ class SpanDecontaminateSpec extends AnyFunSuite with SparkTestBase {
     assert(small.count(_._3 > 0) > 0)
   }
 
+  test("leakReport: hand-computed per-item found counts; duplicates count once") {
+    // bench item 1 "ABCDEF" (k=4): windows ABCD BCDE CDEF; corpus has ABCD
+    // (twice — counts once) and CDEF but not BCDE. item 2: no windows found.
+    // item 3 "XYXYXY": distinct windows XYXY YXYX (dup XYXY counts once).
+    val corpus = Seq(
+      (10L, "zzABCDzz"), (11L, "ABCD"), (12L, "qqCDEFqq"), (13L, "XYXY"))
+      .toDF("doc_id", "text")
+    val bench = Seq((1L, "ABCDEF"), (2L, "NOPEQRST"), (3L, "XYXYXY"))
+      .toDF("bench_id", "text")
+    val got = SpanDecontaminate.leakReport(
+      spark, corpus, bench, "bench_id", "text", SpanDecontaminate.Config(k = 4))
+      .orderBy("bench_id").as[(Long, Long, Long)].collect()
+    assert(got === Array((1L, 3L, 2L), (2L, 5L, 0L), (3L, 2L, 1L)))
+  }
+
   test("over-cap probe set fails loudly") {
     val e = intercept[IllegalArgumentException] {
       run(Seq((1L, "ABCD")), Seq("ABCDEFGH"), SpanDecontaminate.Config(k = 4, maxProbes = 2))
