@@ -204,6 +204,26 @@ object Stress {
       (entries, row.getLong(0), row.getLong(1))
     }
 
+    // span-level benchmark decontamination at 50×: probe excerpts from
+    // every 97th doc (benchmark-bounded broadcast), k=20 windows; the
+    // corpus never shuffles in the broadcast tier. Run again with the
+    // probe byte budget forced to 1 so the DISTRIBUTED semi-join tier
+    // (the over-budget path) proves itself at scale — span/char counts
+    // must be identical across tiers and rounds.
+    val sdBench = docs
+      .where(col("id") % 97 === 0 && length(col("text")) >= 80)
+      .select(substring(col("text"), 11, 60).as("text"))
+      .localCheckpoint(true)
+    def sdcRun(maxChars: Long): (Long, Long) = {
+      val out = graft.text.SpanDecontaminate.cut(spark, docs, sdBench,
+        "id", "text", graft.text.SpanDecontaminate.Config(
+          k = 20, maxProbeChars = maxChars))
+      val row = out.agg(sum(col("n_spans")), sum(col("chars_removed"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val ((dcSpans, dcRemoved), dcSec) = timed(sdcRun(32L << 20))
+    val ((dcDistSpans, dcDistRemoved), dcDistSec) = timed(sdcRun(1L))
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -230,6 +250,8 @@ object Stress {
         f""""semdedup":{"sec":$semSec%.1f,"rows":$semRows,"groups":$semGroups,"dropped":$semDropped},""" +
         f""""semdedup_split":{"sec":$semSpSec%.1f,"groups":$semSpGroups,"dropped":$semSpDropped},""" +
         f""""kn_train_score":{"sec":$knSec%.1f,"entries":$knEntries,"score_sum":$knScoreSum,"oov":$knOov},""" +
+        f""""span_decon":{"sec":$dcSec%.1f,"spans":$dcSpans,"chars_removed":$dcRemoved},""" +
+        f""""span_decon_dist":{"sec":$dcDistSec%.1f,"spans":$dcDistSpans,"chars_removed":$dcDistRemoved},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
