@@ -506,6 +506,24 @@ object SparkEntry {
         .orderBy("bench_id")
     }),
 
+    // C4-style GLOBAL line dedup (Raffel et al. 2020: remove all but the
+    // first occurrence of any repeated line). The documents table is
+    // single-line, so the query first derives a deterministic line
+    // structure (wrap every 4 single-space tokens — pure built-ins:
+    // split/sequence/slice/array_join), then dedups lines corpus-wide.
+    // Unique lines never shuffle as strings (hash prefilter).
+    "q74_line_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val arr = split(col("text"), " ")
+      val wrapped = d.select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), size(arr) - 1, lit(4)),
+            i => array_join(slice(arr, i + 1, lit(4)), " ")),
+          "\n").as("text"))
+      graft.text.LineDedup.dedup(s, wrapped, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1367,6 +1385,13 @@ object SparkEntry {
       "q72_span_decontaminate" ->
         s"""SELECT doc_id, cleaned, n_spans, chars_removed
            FROM read_parquet('$golden/spandecon_sf001.parquet')
+           ORDER BY doc_id""",
+      // global line dedup replayed by an independent hash-free Python
+      // chain (tools/gen_linededup_golden.py: same 4-token wrap, dict
+      // counts, first-occurrence-in-(doc_id,pos)-order keep rule)
+      "q74_line_dedup" ->
+        s"""SELECT doc_id, cleaned, n_lines_removed
+           FROM read_parquet('$golden/linededup_sf001.parquet')
            ORDER BY doc_id""",
       // the leak audit replayed by the same hash-free Python chain style
       // (tools/gen_leak_golden.py: distinct excerpt windows as string
