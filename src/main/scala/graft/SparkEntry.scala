@@ -460,6 +460,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Trigram interpolated KN (Chen & Goodman 1999): the full backoff
+    // chain — trigram over raw counts, bigram and unigram over
+    // CONTINUATION counts, one discount per level. Same shape discipline
+    // as q68: one corpus-sized trigram exchange (pinned), every smoothing
+    // statistic over the trigram-TYPE table. Top-500 by (c3 desc, words).
+    "q75_kn_trigram" -> ((s, dir) =>
+      graft.text.KnTrainer.trigramModelTop(s, docs(s, dir), "text", topK = 500)),
+
     // Incremental KN maintenance: fold the odd-doc_id increment into the
     // even-half model's type table WITHOUT re-reading the existing corpus
     // (the Incremental/incremental-BPE pattern — (w1,w2,c12) is a
@@ -1371,6 +1379,15 @@ object SparkEntry {
         s"""SELECT doc_id, n_bigrams, n_oov, score_micro
            FROM read_parquet('$golden/kn_score_sf001.parquet')
            ORDER BY doc_id""",
+      // the trigram trainer replayed by an independent pure-Python chain
+      // (tools/gen_kn3_golden.py: the same fixed-order count-ratio
+      // arithmetic through all three KN levels — no transcendentals, so
+      // the replication is bit-exact)
+      "q75_kn_trigram" ->
+        s"""SELECT w1, w2, w3, c3, c_ab, n_ab, n_bc, n_b_mid, n_b_cont,
+                  n_c, p_kn3
+           FROM read_parquet('$golden/kn_trigram_sf001.parquet')
+           ORDER BY c3 DESC, w1, w2, w3""",
       // incremental update == full retrain, so the q68 golden IS the
       // oracle (same top-500 contract over the same corpus)
       "q71_kn_incremental" ->

@@ -125,6 +125,83 @@ object KnTrainer {
   ): DataFrame =
     modelFromTypes(spark, countTypes(spark, docs, textCol), discount)
 
+  /** The trigram-level P_KN column (fixed op order — the oracle contract):
+    *   P1(c)    = n_c / T
+    *   P2(c|b)  = (max(n_bc − D, 0) + (D·n_b_cont)·P1(c)) / n_b_mid
+    *   P3(c|ab) = (max(c3 − D, 0) + (D·n_ab)·P2(c|b)) / c_ab
+    * — interpolated Kneser-Ney with continuation counts at the lower
+    * orders (Chen & Goodman 1999), single absolute discount D at every
+    * level. Count ratios only, no transcendentals. */
+  private def pKn3(d: Double, total: Long): Column = {
+    val p1 = col("n_c").cast("double") / lit(total.toDouble)
+    val p2 = (greatest(col("n_bc").cast("double") - lit(d), lit(0.0)) +
+      (lit(d) * col("n_b_cont").cast("double")) * p1) /
+      col("n_b_mid").cast("double")
+    (greatest(col("c3").cast("double") - lit(d), lit(0.0)) +
+      (lit(d) * col("n_ab").cast("double")) * p2) /
+      col("c_ab").cast("double")
+  }
+
+  /** Full interpolated-KN TRIGRAM model. Same shape discipline as the
+    * bigram trainer: ONE corpus-sized trigram aggregation (pinned), then
+    * every smoothing statistic is an aggregation or join over the far
+    * smaller trigram-TYPE table:
+    *   c_ab     = c(ab·)      context total        (groupBy w1,w2)
+    *   n_ab     = N1+(ab·)    context fan-out      (groupBy w1,w2)
+    *   n_bc     = N1+(·bc)    continuation count   (groupBy w2,w3)
+    *   n_b_mid  = N1+(·b·)    mid-word type total  (sum of n_bc per w2)
+    *   n_b_cont = |{c: N1+(·bc)>0}| continuation fan-out per w2
+    *   n_c      = N1+(··c)    last-word continuation count (groupBy w3)
+    *   T        = N1+(···)    total trigram types
+    * Output: (w1, w2, w3, c3, c_ab, n_ab, n_bc, n_b_mid, n_b_cont, n_c,
+    * p_kn3). */
+  def trigramModel(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame = {
+    import spark.implicits._
+    val types = graft.run.Materialize.pin(
+      docs.select(col(textCol))
+        .as[String]
+        .flatMap { t =>
+          val ws = pyTokens(t)
+          (0 until ws.length - 2).iterator
+            .map(i => (ws(i), ws(i + 1), ws(i + 2)))
+        }
+        .toDF("w1", "w2", "w3")
+        .groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3")))
+    val byCtx = types.groupBy("w1", "w2")
+      .agg(sum("c3").as("c_ab"), count(lit(1)).as("n_ab"))
+    // rows of the (w2,w3) grouping count DISTINCT w1 — the continuation count
+    val bcTypes = types.groupBy("w2", "w3").agg(count(lit(1)).as("n_bc"))
+    val byMid = bcTypes.groupBy("w2")
+      .agg(sum("n_bc").as("n_b_mid"), count(lit(1)).as("n_b_cont"))
+    val byLast = types.groupBy("w3").agg(count(lit(1)).as("n_c"))
+    val total = types.count()
+    types
+      .join(byCtx, Seq("w1", "w2"))
+      .join(bcTypes, Seq("w2", "w3"))
+      .join(byMid, Seq("w2"))
+      .join(byLast, Seq("w3"))
+      .withColumn("p_kn3", round(pKn3(discount, total), 6))
+      .select("w1", "w2", "w3", "c3", "c_ab", "n_ab", "n_bc",
+        "n_b_mid", "n_b_cont", "n_c", "p_kn3")
+  }
+
+  /** The topK trigram head by (c3 desc, w1, w2, w3) — a TakeOrdered. */
+  def trigramModelTop(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      topK: Int,
+      discount: Double = 0.75
+  ): DataFrame =
+    trigramModel(spark, docs, textCol, discount)
+      .orderBy(col("c3").desc, col("w1"), col("w2"), col("w3"))
+      .limit(topK)
+
   /** The topK head by (c12 desc, w1, w2) — a TakeOrdered, no global sort. */
   def bigramModelTop(
       spark: SparkSession,

@@ -114,6 +114,56 @@ class KnTrainerSpec extends AnyFunSuite with SparkTestBase {
       === KnTrainer.bigramModel(spark, tiny, "text").orderBy("w1", "w2").collect())
   }
 
+  test("trigram model: hand-computed counts and P_KN3 on the tiny corpus") {
+    // doc1 trigrams: (a,b,a) (b,a,b) (a,b,a) (b,a,c); doc2 none.
+    // c3: (a,b,a)=2 (b,a,b)=1 (b,a,c)=1; T=3
+    // ctx (a,b): c_ab=2 n_ab=1; ctx (b,a): c_ab=2 n_ab=2
+    // n_bc: (b,a)=1 (a,b)=1 (a,c)=1; n_b_mid: b=1 a=2; n_b_cont: b=1 a=2
+    // n_c: a=1 b=1 c=1
+    val m = KnTrainer.trigramModel(spark, tiny, "text")
+      .orderBy("w1", "w2", "w3")
+      .as[(String, String, String, Long, Long, Long, Long, Long, Long, Long, Double)]
+      .collect()
+    assert(m.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10)) ===
+      Array(
+        ("a", "b", "a", 2L, 2L, 1L, 1L, 1L, 1L, 1L),
+        ("b", "a", "b", 1L, 2L, 2L, 1L, 2L, 2L, 1L),
+        ("b", "a", "c", 1L, 2L, 2L, 1L, 2L, 2L, 1L)))
+    // P2(a|b) = (0.25 + 0.75*1*(1/3)) / 1 = 0.5
+    // P3(a|ab) = (1.25 + 0.75*1*0.5) / 2 = 0.8125
+    // P2(b|a) = P2(c|a) = (0.25 + 0.75*2*(1/3)) / 2 = 0.375
+    // P3(b|ba) = P3(c|ba) = (0.25 + 0.75*2*0.375) / 2 = 0.40625
+    assert(m.map(_._11) === Array(0.8125, 0.40625, 0.40625))
+  }
+
+  test("trigram KN mass identity: discounted seen mass per context") {
+    val docs = spark.range(150).select(
+      $"id".as("doc_id"),
+      concat_ws(" ",
+        (0 to 7).map(i => concat(lit("w"), pmod($"id" * (i + 3) + i, lit(7)))): _*
+      ).as("text"))
+    val m = KnTrainer.trigramModel(spark, docs, "text").cache()
+    try {
+      // per (w1,w2): sum(c3) == c_ab, row count == n_ab; and the seen
+      // discounted mass matches 1 - D*n_ab/c_ab (backoff reservation)
+      val bad = m.groupBy("w1", "w2", "c_ab", "n_ab")
+        .agg(sum("c3").as("s"), count(lit(1)).as("n"),
+          sum($"c3".cast("double") - lit(0.75)).as("disc"))
+        .where($"s" =!= $"c_ab" || $"n" =!= $"n_ab" ||
+          abs($"disc" / $"c_ab".cast("double") -
+            (lit(1.0) - lit(0.75) * $"n_ab".cast("double") / $"c_ab".cast("double"))) > lit(1e-9))
+        .count()
+      assert(bad === 0L)
+      // sum of n_bc per w2 == n_b_mid; distinct (w2,w3) count == n_b_cont
+      val bad2 = m.select("w2", "w3", "n_bc", "n_b_mid", "n_b_cont").distinct()
+        .groupBy("w2", "n_b_mid", "n_b_cont")
+        .agg(sum("n_bc").as("s"), count(lit(1)).as("n"))
+        .where($"s" =!= $"n_b_mid" || $"n" =!= $"n_b_cont")
+        .count()
+      assert(bad2 === 0L)
+    } finally { m.unpersist(); () }
+  }
+
   test("topK head is the (c12 desc, w1, w2) prefix of the full table") {
     val full = KnTrainer.bigramModel(spark, tiny, "text")
       .orderBy($"c12".desc, $"w1", $"w2").limit(2)
