@@ -532,6 +532,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Trigram KN scorer: the q69 architecture at order 3 — five broadcast
+    // ARPA tables (tri/ctx3/pair2/ctx2/cont1) in integer micro-nats, Long
+    // sums, one narrow zero-shuffle pass; trained on the even-doc_id half.
+    "q76_kn3_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.text.KnScorer.trainAndScoreTri(
+        s, d.where(col("doc_id") % 2 === 0), d, "text")
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1417,6 +1427,13 @@ object SparkEntry {
         s"""SELECT bench_id, n_windows, n_found
            FROM read_parquet('$golden/leak_sf001.parquet')
            ORDER BY bench_id""",
+      // the trigram scorer replayed by an independent pure-Python chain
+      // (tools/gen_kn3_score_golden.py — the q69 micro-nat argument at
+      // order 3: one ln per model entry, integer sums everywhere else)
+      "q76_kn3_score" ->
+        s"""SELECT doc_id, n_trigrams, n_oov, score_micro
+           FROM read_parquet('$golden/kn3_score_sf001.parquet')
+           ORDER BY doc_id""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact
       // integers (bit-identical on both sides), and ntile(3) is the same

@@ -162,6 +162,144 @@ object KnScorer {
       .toDF(idCol, "n_bigrams", "n_oov", "score_micro")
   }
 
+  /** Trigram ARPA tables, micro-nat quantized. Keys are space-joined
+    * (tokens cannot contain whitespace — mode-A split — so the join is
+    * collision-free). */
+  final case class TriModel(
+      tri: java.util.HashMap[String, java.lang.Integer],
+      ctx3: java.util.HashMap[String, java.lang.Integer],
+      pair2: java.util.HashMap[String, java.lang.Integer],
+      ctx2: java.util.HashMap[String, java.lang.Integer],
+      cont1: java.util.HashMap[String, java.lang.Integer],
+      unkMicro: Int
+  ) extends Serializable
+
+  /** Builds the trigram scorer tables from [[KnTrainer.trigramModel]]
+    * output (all 10 count columns). Canonical per-entry arithmetic (the
+    * oracle contract — same fixed order as the q75 column expression,
+    * then one ln + micro-quantize per entry):
+    *   tri(abc)   = micro(P3)            ctx3(ab) = micro((D·n_ab)/c_ab)
+    *   pair2(bc)  = micro(P2)            ctx2(b)  = micro((D·n_b_cont)/n_b_mid)
+    *   cont1(c)   = micro(n_c/T)         unk      = micro(1/(T+1))
+    */
+  def buildTriModel(
+      modelDf: DataFrame,
+      discount: Double = 0.75,
+      maxEntries: Long = 10000000L,
+      maxBytes: Long = 512L * 1024 * 1024
+  ): TriModel = {
+    val stats = modelDf
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("w1")) + length(col("w2")) + length(col("w3"))),
+          lit(0L)).as("b"))
+      .head()
+    val (n, bytes) = (stats.getLong(0), stats.getLong(1))
+    require(
+      n <= maxEntries && bytes <= maxBytes,
+      s"kn_scorer: trigram model has $n types / $bytes key bytes, over the " +
+        s"driver-collect budget ($maxEntries entries / $maxBytes bytes). " +
+        "Train on a smaller seed corpus or raise the budget — the model " +
+        "must remain broadcastable; it is bounded by the seed, not the crawl.")
+
+    val rows = modelDf.select("w1", "w2", "w3", "c3", "c_ab", "n_ab",
+      "n_bc", "n_b_mid", "n_b_cont", "n_c").collect()
+    val tri = new java.util.HashMap[String, java.lang.Integer]()
+    val ctx3 = new java.util.HashMap[String, java.lang.Integer]()
+    val pair2 = new java.util.HashMap[String, java.lang.Integer]()
+    val ctx2 = new java.util.HashMap[String, java.lang.Integer]()
+    val cont1 = new java.util.HashMap[String, java.lang.Integer]()
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val a = r.getString(0); val b = r.getString(1); val c = r.getString(2)
+      val c3v = r.getLong(3).toDouble
+      val cAb = r.getLong(4).toDouble
+      val nAb = r.getLong(5).toDouble
+      val nBc = r.getLong(6).toDouble
+      val nBMid = r.getLong(7).toDouble
+      val nBCont = r.getLong(8).toDouble
+      val nC = r.getLong(9).toDouble
+      val p1 = nC / n.toDouble
+      val p2 = (math.max(nBc - discount, 0.0) +
+        (discount * nBCont) * p1) / nBMid
+      val p3 = (math.max(c3v - discount, 0.0) +
+        (discount * nAb) * p2) / cAb
+      tri.put(a + " " + b + " " + c, micro(p3))
+      if (!ctx3.containsKey(a + " " + b))
+        ctx3.put(a + " " + b, micro((discount * nAb) / cAb))
+      if (!pair2.containsKey(b + " " + c))
+        pair2.put(b + " " + c, micro(p2))
+      if (!ctx2.containsKey(b))
+        ctx2.put(b, micro((discount * nBCont) / nBMid))
+      if (!cont1.containsKey(c))
+        cont1.put(c, micro(p1))
+      i += 1
+    }
+    TriModel(tri, ctx3, pair2, ctx2, cont1, micro(1.0 / (n.toDouble + 1.0)))
+  }
+
+  /** One narrow zero-shuffle pass: (idCol, n_trigrams, n_oov, score_micro).
+    * Per trigram (a, b, c):
+    *   seen             → tri(abc)
+    *   (a,b) seen ctx   → ctx3(ab) + P2-part          [n_oov += 1]
+    *   else             → P2-part                     [n_oov += 1]
+    * where P2-part = pair2(bc) | ctx2(b) + (cont1(c) | unk) | (cont1(c) | unk).
+    * Docs with fewer than three tokens score (0, 0, 0). */
+  def scoreTri(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      model: TriModel,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val m = bc.value
+        val ws = KnTrainer.pyTokens(text)
+        var s = 0L
+        var oov = 0L
+        var i = 2
+        while (i < ws.length) {
+          val a = ws(i - 2); val b = ws(i - 1); val c = ws(i)
+          val hit = m.tri.get(a + " " + b + " " + c)
+          if (hit != null) s += hit.longValue
+          else {
+            oov += 1
+            val p2hit = m.pair2.get(b + " " + c)
+            val p2part: Long =
+              if (p2hit != null) p2hit.longValue
+              else {
+                val c1 = m.cont1.get(c)
+                val base = if (c1 == null) m.unkMicro.toLong else c1.longValue
+                val cw2 = m.ctx2.get(b)
+                if (cw2 == null) base else cw2.longValue + base
+              }
+            val cw3 = m.ctx3.get(a + " " + b)
+            s += (if (cw3 == null) p2part else cw3.longValue + p2part)
+          }
+          i += 1
+        }
+        (id, math.max(0, ws.length - 2).toLong, oov, s)
+      }
+      .toDF(idCol, "n_trigrams", "n_oov", "score_micro")
+  }
+
+  /** Train-on-`seed`, score-`docs` — the trigram CCNet composition. */
+  def trainAndScoreTri(
+      spark: SparkSession,
+      seed: DataFrame,
+      docs: DataFrame,
+      textCol: String,
+      discount: Double = 0.75
+  ): DataFrame =
+    scoreTri(spark, docs, textCol,
+      buildTriModel(KnTrainer.trigramModel(spark, seed, textCol, discount), discount))
+
   /** Train-on-`seed`, score-`docs` in one call (the CCNet composition). */
   def trainAndScore(
       spark: SparkSession,

@@ -102,6 +102,42 @@ class KnScorerSpec extends AnyFunSuite with SparkTestBase {
     assert(viaRank === viaWindow)
   }
 
+  test("trigram scorer: every backoff branch, hand-accumulated") {
+    // train on tiny: trigram types (a,b,a)x2 (b,a,b) (b,a,c); T=3.
+    val tm = KnScorer.buildTriModel(KnTrainer.trigramModel(spark, seed, "text"))
+    // "a b a b q a b a c z c": trigrams and branches —
+    //  (a,b,a) seen tri; (b,a,b) seen tri; (a,b,q) ctx3(a b) + [pair2(b q)?
+    //  no → ctx2(b) + cont1(q)? q unseen → unk]; (b,q,a) no ctx3, pair2(q a)?
+    //  no, ctx2(q)? no → cont1(a); (q,a,b) no ctx3 → pair2(a b) seen;
+    //  (a,b,a) seen tri; (b,a,c) seen tri; (a,c,z) no ctx3 → pair2(c z)? no,
+    //  ctx2(c)? no → cont1(z)? no → unk; (c,z,c) no ctx3 → ctx2(z)? no →
+    //  cont1(c) seen.
+    val got = KnScorer.scoreTri(spark,
+      Seq((5L, "a b a b q a b a c z c")).toDF("doc_id", "text"), "text", tm)
+      .as[(Long, Long, Long, Long)].head()
+    def g(m: java.util.HashMap[String, java.lang.Integer], k: String): Long = {
+      val v = m.get(k); assert(v != null, s"expected $k in model"); v.longValue
+    }
+    val expected =
+      g(tm.tri, "a b a") + g(tm.tri, "b a b") +
+        (g(tm.ctx3, "a b") + (g(tm.ctx2, "b") + tm.unkMicro.toLong)) +
+        g(tm.cont1, "a") +
+        g(tm.pair2, "a b") +
+        g(tm.tri, "a b a") + g(tm.tri, "b a c") +
+        tm.unkMicro.toLong +
+        g(tm.cont1, "c")
+    assert(got === ((5L, 9L, 5L, expected)))
+  }
+
+  test("trigram scorer: self-scored training corpus has zero OOV; short docs zero") {
+    val scored = KnScorer.trainAndScoreTri(spark,
+      seed, seed.union(Seq((9L, "x y")).toDF("doc_id", "text")), "text")
+    val got = scored.orderBy("doc_id").as[(Long, Long, Long, Long)].collect()
+    assert(got.filter(_._1 == 9L) === Array((9L, 0L, 0L, 0L)))
+    assert(got.map(_._3).sum === 0L)
+    assert(got.filter(_._1 == 0L).head._2 === 4L) // doc 0 has 4 trigrams
+  }
+
   test("over-budget model fails loudly, never truncates") {
     val e = intercept[IllegalArgumentException] {
       KnScorer.buildModel(KnTrainer.bigramModel(spark, seed, "text"), maxEntries = 2)
