@@ -204,6 +204,17 @@ object Stress {
       (entries, row.getLong(0), row.getLong(1))
     }
 
+    // the same at TRIGRAM order (q75/q76): five broadcast micro-nat
+    // tables; the exact Long score-sum is again the determinism witness
+    val ((kn3Entries, kn3ScoreSum, kn3Oov), kn3Sec) = timed {
+      val model = graft.text.KnScorer.buildTriModel(
+        graft.text.KnTrainer.trigramModel(spark,
+          docs.where(col("id") % 2 === 0), "text"))
+      val scored = graft.text.KnScorer.scoreTri(spark, docs, "text", model, idCol = "id")
+      val row = scored.agg(sum(col("score_micro")), sum(col("n_oov"))).head()
+      (model.tri.size().toLong, row.getLong(0), row.getLong(1))
+    }
+
     // span-level benchmark decontamination at 50×: probe excerpts from
     // every 97th doc (benchmark-bounded broadcast), k=20 windows; the
     // corpus never shuffles in the broadcast tier. Run again with the
@@ -250,6 +261,7 @@ object Stress {
         f""""semdedup":{"sec":$semSec%.1f,"rows":$semRows,"groups":$semGroups,"dropped":$semDropped},""" +
         f""""semdedup_split":{"sec":$semSpSec%.1f,"groups":$semSpGroups,"dropped":$semSpDropped},""" +
         f""""kn_train_score":{"sec":$knSec%.1f,"entries":$knEntries,"score_sum":$knScoreSum,"oov":$knOov},""" +
+        f""""kn3_train_score":{"sec":$kn3Sec%.1f,"entries":$kn3Entries,"score_sum":$kn3ScoreSum,"oov":$kn3Oov},""" +
         f""""span_decon":{"sec":$dcSec%.1f,"spans":$dcSpans,"chars_removed":$dcRemoved},""" +
         f""""span_decon_dist":{"sec":$dcDistSec%.1f,"spans":$dcDistSpans,"chars_removed":$dcDistRemoved},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
