@@ -68,14 +68,20 @@ object KnScorer {
   /** Builds the broadcastable model from [[KnTrainer.bigramModel]] output
     * (columns w1, w2, c12, c1, n1p_fwd, n1p_bwd, p_kn).
     *
+    * Driver-footprint accounting behind the guard: the transient collect
+    * materializes boxed Rows (~200 B/entry beyond the key chars) and the
+    * built tables cost ~2·(keyChars·2 + 90) B/entry, so the defaults
+    * (4M entries / 256 MB key bytes) keep the peak around ~1.5 GB — sized
+    * for an 8 GB driver with headroom, and loud (never truncating) above.
+    *
     * @param maxEntries loud-failure cap on bigram types collected
     * @param maxBytes   loud-failure cap on total key bytes collected
     */
   def buildModel(
       modelDf: DataFrame,
       discount: Double = 0.75,
-      maxEntries: Long = 10000000L,
-      maxBytes: Long = 512L * 1024 * 1024
+      maxEntries: Long = 4000000L,
+      maxBytes: Long = 256L * 1024 * 1024
   ): Model = {
     val stats = modelDf
       .agg(
@@ -185,8 +191,11 @@ object KnScorer {
   def buildTriModel(
       modelDf: DataFrame,
       discount: Double = 0.75,
-      maxEntries: Long = 10000000L,
-      maxBytes: Long = 512L * 1024 * 1024
+      // see buildModel's driver-footprint note; trigram rows carry 10
+      // columns and up to five table entries each, so the defaults are
+      // tighter still
+      maxEntries: Long = 3000000L,
+      maxBytes: Long = 192L * 1024 * 1024
   ): TriModel = {
     val stats = modelDf
       .agg(
