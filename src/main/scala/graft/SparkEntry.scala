@@ -542,6 +542,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR importance resampling (Xie et al. 2023): weight every document
+    // by the log ratio of two hashed-n-gram bucket models — target = the
+    // even-doc_id half (the "curated" corpus), raw = the odd half (the
+    // crawl sample) — and flag the top-500 by (weight desc, doc_id) as the
+    // resampled selection. Both models are 4096-bucket integer arrays
+    // (broadcast ~16 KB, bounded by construction); scoring is one narrow
+    // zero-shuffle pass; the selection rank reuses the scalable
+    // GroupedRank machinery (range exchange, never a one-partition window).
+    "q77_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val scored = graft.text.Dsir.trainAndScore(
+        s, d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0),
+        d, "text")
+      graft.sample.GroupedRank.rank(
+        s, scored, lit(0), Seq(col("weight_micro").desc, col("doc_id")))
+        .withColumn("selected", col("group_rank") <= 500)
+        .select("doc_id", "n_feats", "weight_micro", "selected")
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1434,6 +1454,18 @@ object SparkEntry {
         s"""SELECT doc_id, n_trigrams, n_oov, score_micro
            FROM read_parquet('$golden/kn3_score_sf001.parquet')
            ORDER BY doc_id""",
+      // DSIR weights replayed by an independent pure-Python chain
+      // (tools/gen_dsir_golden.py: the public-spec XXH64 replication for
+      // bucket assignment, add-one bucket probabilities, ONE micro-nat
+      // quantization per bucket, plain integer sums per document); the
+      // top-500 selection is replayed in SQL over the golden
+      "q77_dsir_select" ->
+        s"""WITH s AS (SELECT doc_id, n_feats, weight_micro
+                FROM read_parquet('$golden/dsir_sf001.parquet')),
+             r AS (SELECT *, row_number()
+                  OVER (ORDER BY weight_micro DESC, doc_id) AS rk FROM s)
+           SELECT doc_id, n_feats, weight_micro, rk <= 500 AS selected
+           FROM r ORDER BY doc_id""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact
       // integers (bit-identical on both sides), and ntile(3) is the same
