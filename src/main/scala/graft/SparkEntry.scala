@@ -542,6 +542,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher repetition signals (Rae et al. 2021 Table A1): the
+    // duplicate-line + repeated-n-gram battery over the q74 4-token line
+    // wrap — all-integer contract (cross-multiplied thresholds, no
+    // floating point), one narrow zero-shuffle map pass. Every 7th doc
+    // gets its first 12 tokens appended twice (pure built-ins) so the
+    // natural corpus — which has no verbatim n-gram repeats — exercises
+    // the dup-n-gram and dup-line branches at oracle level.
+    "q78_repetition" -> ((s, dir) => {
+      val raw = docs(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val head12 = array_join(slice(toks, 1, 12), " ")
+      val d = raw.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat_ws(" ", col("text"), head12, head12))
+          .otherwise(col("text")).as("text"))
+      val arr = split(col("text"), " ")
+      val wrapped = d.select(col("doc_id"),
+        array_join(
+          transform(sequence(lit(0), size(arr) - 1, lit(4)),
+            i => array_join(slice(arr, i + 1, lit(4)), " ")),
+          "\n").as("text"))
+      graft.quality.Repetition(s, wrapped, "text").orderBy("doc_id")
+    }),
+
     // DSIR importance resampling (Xie et al. 2023): weight every document
     // by the log ratio of two hashed-n-gram bucket models — target = the
     // even-doc_id half (the "curated" corpus), raw = the odd half (the
@@ -1453,6 +1477,28 @@ object SparkEntry {
       "q76_kn3_score" ->
         s"""SELECT doc_id, n_trigrams, n_oov, score_micro
            FROM read_parquet('$golden/kn3_score_sf001.parquet')
+           ORDER BY doc_id""",
+      // the repetition battery replayed by an independent all-integer
+      // Python chain (tools/gen_repetition_golden.py: same 4-token wrap,
+      // dict counts, position-coverage marking); keep is replayed in SQL
+      // by the same integer cross-multiplications
+      "q78_repetition" ->
+        s"""SELECT doc_id, n_chars, line_chars, n_lines, n_dup_lines,
+                  dup_line_chars, top2_chars, top3_chars, top4_chars,
+                  dup5_chars, dup6_chars, dup7_chars, dup8_chars,
+                  dup9_chars, dup10_chars,
+                  (n_dup_lines * 100 <= 30 * n_lines
+                   AND dup_line_chars * 100 <= 20 * greatest(1, line_chars)
+                   AND top2_chars * 100 <= 20 * greatest(1, n_chars)
+                   AND top3_chars * 100 <= 18 * greatest(1, n_chars)
+                   AND top4_chars * 100 <= 16 * greatest(1, n_chars)
+                   AND dup5_chars * 100 <= 15 * greatest(1, n_chars)
+                   AND dup6_chars * 100 <= 14 * greatest(1, n_chars)
+                   AND dup7_chars * 100 <= 13 * greatest(1, n_chars)
+                   AND dup8_chars * 100 <= 12 * greatest(1, n_chars)
+                   AND dup9_chars * 100 <= 11 * greatest(1, n_chars)
+                   AND dup10_chars * 100 <= 10 * greatest(1, n_chars)) AS keep
+           FROM read_parquet('$golden/repetition_sf001.parquet')
            ORDER BY doc_id""",
       // DSIR weights replayed by an independent pure-Python chain
       // (tools/gen_dsir_golden.py: the public-spec XXH64 replication for
