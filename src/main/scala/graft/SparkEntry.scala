@@ -566,6 +566,27 @@ object SparkEntry {
       graft.quality.Repetition(s, wrapped, "text").orderBy("doc_id")
     }),
 
+    // BM25 batch retrieval: benchmark excerpts (every 20th doc, the q72
+    // probe shape) retrieve their top-10 corpus docs — broadcast query
+    // workload (no inverted index), micro-unit integer scores, GroupedTopK
+    // for the bounded per-query cut.
+    "q80_bm25_topk" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val q = d.where(col("doc_id") % 20 === 0 && length(col("text")) >= 140)
+        .select(col("doc_id"), substring(col("text"), 41, 100).as("text"))
+      graft.text.Bm25.search(s, d, q, "text", k = 10)
+        .orderBy("query_id", "rk")
+    }),
+
+    // zlib compression-ratio signal (the MassiveText/RefinedWeb
+    // compressibility filter): all-integer (n_bytes, z_bytes) contract —
+    // JDK Deflater and CPython zlib are byte-identical at level 6 — one
+    // narrow zero-shuffle map pass.
+    "q79_compress_ratio" -> ((s, dir) =>
+      graft.quality.Compressibility(
+        s, docs(s, dir).select("doc_id", "text"), "text")
+        .orderBy("doc_id")),
+
     // DSIR importance resampling (Xie et al. 2023): weight every document
     // by the log ratio of two hashed-n-gram bucket models — target = the
     // even-doc_id half (the "curated" corpus), raw = the odd half (the
@@ -1499,6 +1520,24 @@ object SparkEntry {
                    AND dup9_chars * 100 <= 11 * greatest(1, n_chars)
                    AND dup10_chars * 100 <= 10 * greatest(1, n_chars)) AS keep
            FROM read_parquet('$golden/repetition_sf001.parquet')
+           ORDER BY doc_id""",
+      // BM25 replayed by an independent pure-Python chain
+      // (tools/gen_bm25_golden.py: dict df counts, one ln per query term,
+      // the fixed-op-order tf-normalization chain quantized once per
+      // (term, doc) to integer micro-units, integer sums, the same
+      // (score desc, doc_id) top-10 cut)
+      "q80_bm25_topk" ->
+        s"""SELECT query_id, doc_id, n_matched, score_micro, rk
+           FROM read_parquet('$golden/bm25_sf001.parquet')
+           ORDER BY query_id, rk""",
+      // compressibility replayed by CPython zlib (byte-identical deflate
+      // streams at level 6 — verified corpus-wide plus megabyte-scale
+      // inputs); keep replayed in SQL by integer cross-multiplication
+      "q79_compress_ratio" ->
+        s"""SELECT doc_id, n_bytes, z_bytes,
+                  (n_bytes < 64 OR (z_bytes * 100 >= 30 * n_bytes
+                   AND z_bytes * 100 <= 110 * n_bytes)) AS keep
+           FROM read_parquet('$golden/compress_sf001.parquet')
            ORDER BY doc_id""",
       // DSIR weights replayed by an independent pure-Python chain
       // (tools/gen_dsir_golden.py: the public-spec XXH64 replication for
