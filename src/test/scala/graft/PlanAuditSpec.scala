@@ -431,6 +431,51 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"pass-1 exchange must be keyed on the 8-byte hash, not the line: $badExchange")
   }
 
+  test("DSIR scoring is a single zero-shuffle pass (q77 shape)") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val lam = graft.text.Dsir.weightTable(
+      graft.text.Dsir.bucketCounts(spark, d.where(col("doc_id") % 2 === 0), "text"),
+      graft.text.Dsir.bucketCounts(spark, d.where(col("doc_id") % 2 =!= 0), "text"))
+    val plan = executedPlan(graft.text.Dsir.score(spark, d, "text", lam))
+    assert(!"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findFirstIn(plan).isDefined,
+      s"DSIR scoring must not shuffle:\n$plan")
+  }
+
+  test("repetition + compressibility signals are zero-shuffle passes (q78/q79)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    Seq(
+      graft.quality.Repetition(spark, d, "text"),
+      graft.quality.Compressibility(spark, d, "text")
+    ).foreach { df =>
+      val plan = executedPlan(df)
+      assert(!"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+        .findFirstIn(plan).isDefined,
+        s"per-doc signal pass must not shuffle:\n$plan")
+    }
+  }
+
+  test("BM25 scoring pass never shuffles document text (q80 shape)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val q = d.where(col("doc_id") % 20 === 0 && length(col("text")) >= 140)
+      .select(col("doc_id"), substring(col("text"), 41, 100).as("text"))
+    val model = graft.text.Bm25.buildModel(spark, d, q, "text")
+    // the scoring pass itself: zero exchanges — stats/df/idf all broadcast
+    val plan = executedPlan(graft.text.Bm25.scoreAll(spark, d, "text", model))
+    assert(!"ShuffleExchange|Exchange hashpartitioning|Exchange rangepartitioning".r
+      .findFirstIn(plan).isDefined,
+      s"BM25 scoring must not shuffle:\n$plan")
+    // the full retrieval: every exchange is over (query_id, doc_id, counts)
+    // survivor rows — the text column must appear in NO exchange line
+    val full = executedPlan(graft.text.Bm25.search(spark, d, q, "text", k = 10))
+    val badExchange = full.linesIterator
+      .filter(_.contains("Exchange"))
+      .find(_.contains("text#"))
+    assert(badExchange.isEmpty,
+      s"BM25 exchanges must not carry text: $badExchange")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one KEY with 10k distinct rows (a mega-conversation: same conv_id,
