@@ -99,15 +99,20 @@ object Repetition {
     val lineChars = lines.map(_.length.toLong).sum
 
     // -- n-gram signals over mode-A tokens ------------------------------
+    // grams are substrings of the precomputed single-space join (one char
+    // copy per window — no per-window array slice + re-join), counted
+    // once per n and reused by the coverage pass
     val ws = KnTrainer.pyTokens(t)
     val L = ws.length
-    val nChars =
-      ws.map(_.length.toLong).sum + math.max(0, L - 1).toLong
-    // token start offsets within the single-space join
+    val joined = ws.mkString(" ")
+    val nChars = joined.length.toLong
+    // token start offsets within the join
     val starts = new Array[Int](L)
     var off = 0
     var i = 0
     while (i < L) { starts(i) = off; off += ws(i).length + 1; i += 1 }
+    @inline def gram(j: Int, n: Int): String =
+      joined.substring(starts(j), starts(j + n - 1) + ws(j + n - 1).length)
 
     val top = new Array[Long](3)
     var n = 2
@@ -118,7 +123,7 @@ object Repetition {
         var bestC = 0
         var j = 0
         while (j + n <= L) {
-          val g = ws.slice(j, j + n).mkString(" ")
+          val g = gram(j, n)
           val c: Int = counts.merge(g, 1, (a, b) => a + b)
           if (c > bestC || (c == bestC && (best == null || utf8Less(g, best)))) {
             best = g; bestC = c
@@ -134,16 +139,19 @@ object Repetition {
     n = 5
     while (n <= 10) {
       if (L >= n) {
+        val w = L - n + 1
+        val grams = new Array[String](w)
         val counts = new java.util.HashMap[String, Integer]()
         var j = 0
-        while (j + n <= L) {
-          counts.merge(ws.slice(j, j + n).mkString(" "), 1, (a, b) => a + b)
+        while (j < w) {
+          grams(j) = gram(j, n)
+          counts.merge(grams(j), 1, (a, b) => a + b)
           j += 1
         }
         val covered = new Array[Boolean](L)
         j = 0
-        while (j + n <= L) {
-          if (counts.get(ws.slice(j, j + n).mkString(" ")) >= 2) {
+        while (j < w) {
+          if (counts.get(grams(j)) >= 2) {
             var k = j
             while (k < j + n) { covered(k) = true; k += 1 }
           }
