@@ -235,6 +235,56 @@ object Stress {
     val ((dcSpans, dcRemoved), dcSec) = timed(sdcRun(32L << 20))
     val ((dcDistSpans, dcDistRemoved), dcDistSec) = timed(sdcRun(1L))
 
+    // DSIR importance weights at 50×: target = even-id half, raw = odd
+    // half, score the WHOLE corpus. The exact Long weight-sum is the
+    // determinism witness (integer micro-nat sums — associative), and the
+    // 4096-bucket models bound the broadcast by construction.
+    val ((dsirFeats, dsirWeightSum), dsirSec) = timed {
+      val lam = graft.text.Dsir.weightTable(
+        graft.text.Dsir.bucketCounts(spark, docs.where(col("id") % 2 === 0), "text"),
+        graft.text.Dsir.bucketCounts(spark, docs.where(col("id") % 2 =!= 0), "text"))
+      val row = graft.text.Dsir.score(spark, docs, "text", lam, idCol = "id")
+        .agg(sum(col("n_feats")), sum(col("weight_micro"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // Gopher repetition battery at 50× (with the q78 4-token line wrap):
+    // all-integer witnesses — dropped-doc count and total duplicated-5-gram
+    // char mass. One zero-shuffle pass over the wrapped corpus.
+    val ((repDropped, repDup5Sum), repSec) = timed {
+      val arr = split(col("text"), " ")
+      val wrapped = docs.select(col("id"),
+        array_join(
+          transform(sequence(lit(0), size(arr) - 1, lit(4)),
+            i => array_join(slice(arr, i + 1, lit(4)), " ")),
+          "\n").as("text"))
+      val row = graft.quality.Repetition(spark, wrapped, "text", idCol = "id")
+        .agg(sum(when(col("keep"), 0L).otherwise(1L)), sum(col("dup5_chars")))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // zlib compressibility at 50×: total compressed bytes is the witness
+    // (deflate is deterministic); this is the per-row native-CPU throughput
+    // probe for the signal at scale.
+    val ((zDropped, zBytesSum), zSec) = timed {
+      val row = graft.quality.Compressibility(spark, docs, "text", idCol = "id")
+        .agg(sum(when(col("keep"), 0L).otherwise(1L)), sum(col("z_bytes")))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+
+    // BM25 retrieval at 50×: probe excerpts from every 97th doc (the
+    // span-decon query shape), top-10 per query; witnesses are the
+    // survivor-row count and the exact Long sum of top-k micro-unit scores.
+    val ((bmRows, bmScoreSum), bmSec) = timed {
+      val q = docs.where(col("id") % 97 === 0 && length(col("text")) >= 80)
+        .select(col("id"), substring(col("text"), 11, 60).as("text"))
+      val top = graft.text.Bm25.search(spark, docs, q, "text", k = 10, idCol = "id")
+      val row = top.agg(count(lit(1)), sum(col("score_micro"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -264,6 +314,10 @@ object Stress {
         f""""kn3_train_score":{"sec":$kn3Sec%.1f,"entries":$kn3Entries,"score_sum":$kn3ScoreSum,"oov":$kn3Oov},""" +
         f""""span_decon":{"sec":$dcSec%.1f,"spans":$dcSpans,"chars_removed":$dcRemoved},""" +
         f""""span_decon_dist":{"sec":$dcDistSec%.1f,"spans":$dcDistSpans,"chars_removed":$dcDistRemoved},""" +
+        f""""dsir":{"sec":$dsirSec%.1f,"feats":$dsirFeats,"weight_sum":$dsirWeightSum},""" +
+        f""""repetition":{"sec":$repSec%.1f,"dropped":$repDropped,"dup5_chars":$repDup5Sum},""" +
+        f""""compressibility":{"sec":$zSec%.1f,"dropped":$zDropped,"z_bytes":$zBytesSum},""" +
+        f""""bm25":{"sec":$bmSec%.1f,"rows":$bmRows,"score_sum":$bmScoreSum},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")
