@@ -204,6 +204,18 @@ object Stress {
       (entries, row.getLong(0), row.getLong(1))
     }
 
+    // the same scoring with the DISTRIBUTED JOIN TIER forced (maxEntries=1
+    // puts the model over the broadcast budget): the over-budget path a
+    // larger-than-driver seed takes — the exact Long score-sum must equal
+    // the broadcast tier's above
+    val ((knJoinScoreSum, knJoinOov), knJoinSec) = timed {
+      val scored = graft.text.KnScorer.trainAndScore(spark,
+        docs.where(col("id") % 2 === 0), docs, "text",
+        maxEntries = 1L, idCol = "id")
+      val row = scored.agg(sum(col("score_micro")), sum(col("n_oov"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // the same at TRIGRAM order (q75/q76): five broadcast micro-nat
     // tables; the exact Long score-sum is again the determinism witness
     val ((kn3Entries, kn3ScoreSum, kn3Oov), kn3Sec) = timed {
@@ -311,6 +323,7 @@ object Stress {
         f""""semdedup":{"sec":$semSec%.1f,"rows":$semRows,"groups":$semGroups,"dropped":$semDropped},""" +
         f""""semdedup_split":{"sec":$semSpSec%.1f,"groups":$semSpGroups,"dropped":$semSpDropped},""" +
         f""""kn_train_score":{"sec":$knSec%.1f,"entries":$knEntries,"score_sum":$knScoreSum,"oov":$knOov},""" +
+        f""""kn_score_join":{"sec":$knJoinSec%.1f,"score_sum":$knJoinScoreSum,"oov":$knJoinOov},""" +
         f""""kn3_train_score":{"sec":$kn3Sec%.1f,"entries":$kn3Entries,"score_sum":$kn3ScoreSum,"oov":$kn3Oov},""" +
         f""""span_decon":{"sec":$dcSec%.1f,"spans":$dcSpans,"chars_removed":$dcRemoved},""" +
         f""""span_decon_dist":{"sec":$dcDistSec%.1f,"spans":$dcDistSpans,"chars_removed":$dcDistRemoved},""" +

@@ -309,14 +309,106 @@ object KnScorer {
     scoreTri(spark, docs, textCol,
       buildTriModel(KnTrainer.trigramModel(spark, seed, textCol, discount), discount))
 
-  /** Train-on-`seed`, score-`docs` in one call (the CCNet composition). */
+  /** DISTRIBUTED scoring tier — the over-budget path: when the seed model
+    * exceeds the driver broadcast budget, score via joins against the
+    * model TYPE table instead of collecting it. Same contract as
+    * [[score]], value-exactly: the per-entry micro-nats are computed by
+    * the SAME fixed-op-order arithmetic + quantizer (a UDF over the
+    * model table — bounded by the seed, never the crawl), and per-pair
+    * rule/oov semantics are replayed in column expressions, so the two
+    * tiers are bit-equal (asserted in KnScorerSpec and the 50× stress
+    * battery).
+    *
+    * 100-TB shape: one corpus-bigram-sized exchange into the pair join
+    * (unavoidable once the model cannot broadcast) plus two w1/w2-keyed
+    * joins whose right sides are model-type-bounded; the final
+    * aggregation is doc-bounded with map-side partial aggregation. */
+  def scoreJoin(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      modelDf: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    val m = graft.run.Materialize.pin(
+      // reused by three join sides + the scalar count: pin so the model
+      // DAG (itself corpus-sized for the seed) runs exactly once
+      modelDf.select("w1", "w2", "c12", "c1", "n1p_fwd", "n1p_bwd"))
+    val n = m.count()
+    val nD = n.toDouble
+    val pairMicro = udf((c12: Long, c1: Long, fwd: Long, bwd: Long) =>
+      // the buildModel fixed op order, verbatim
+      micro((math.max(c12.toDouble - discount, 0.0) +
+        (discount * fwd.toDouble) * (bwd.toDouble / nD)) / c1.toDouble))
+    val ctxMicro = udf((c1: Long, fwd: Long) =>
+      micro((discount * fwd.toDouble) / c1.toDouble))
+    val contMicro = udf((bwd: Long) => micro(bwd.toDouble / nD))
+    val unk = micro(1.0 / (nD + 1.0)).toLong
+
+    val pairT = m.select(col("w1"), col("w2"),
+      pairMicro(col("c12"), col("c1"), col("n1p_fwd"), col("n1p_bwd"))
+        .as("pair_micro"))
+    val ctxT = m.select(col("w1"),
+      ctxMicro(col("c1"), col("n1p_fwd")).as("ctx_micro"))
+      .dropDuplicates("w1")
+    val contT = m.select(col("w2"),
+      contMicro(col("n1p_bwd")).as("cont_micro"))
+      .dropDuplicates("w2")
+
+    val ids = docs.select(col(idCol).cast("long").as(idCol))
+    val bi = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ws = KnTrainer.pyTokens(t)
+        (1 until ws.length).iterator.map(i => (id, ws(i - 1), ws(i)))
+      }
+      .toDF(idCol, "w1", "w2")
+    val scored = bi
+      .join(pairT, Seq("w1", "w2"), "left")
+      .join(ctxT, Seq("w1"), "left")
+      .join(contT, Seq("w2"), "left")
+      .select(col(idCol),
+        when(col("pair_micro").isNotNull, col("pair_micro").cast("long"))
+          .otherwise(coalesce(col("ctx_micro").cast("long"), lit(0L)) +
+            coalesce(col("cont_micro").cast("long"), lit(unk))).as("m"),
+        when(col("pair_micro").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("oov")).as("n_oov"),
+        sum(col("m")).as("score_micro"))
+    ids
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_bigrams", "n_oov", "score_micro"))
+      .select(idCol, "n_bigrams", "n_oov", "score_micro")
+  }
+
+  /** Train-on-`seed`, score-`docs` in one call (the CCNet composition).
+    * Tier selection: the model broadcasts when within the driver budget
+    * (the fast zero-shuffle path — CCNet-sized seeds); above it, scoring
+    * degrades to the distributed join tier ([[scoreJoin]], value-exact)
+    * instead of failing — the 100-TB posture for oversized seeds. */
   def trainAndScore(
       spark: SparkSession,
       seed: DataFrame,
       docs: DataFrame,
       textCol: String,
-      discount: Double = 0.75
-  ): DataFrame =
-    score(spark, docs, textCol,
-      buildModel(KnTrainer.bigramModel(spark, seed, textCol, discount), discount))
+      discount: Double = 0.75,
+      maxEntries: Long = 4000000L,
+      maxBytes: Long = 256L * 1024 * 1024,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val modelDf = KnTrainer.bigramModel(spark, seed, textCol, discount)
+    val stats = modelDf
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("w1")) + length(col("w2"))), lit(0L)).as("b"))
+      .head()
+    if (stats.getLong(0) <= maxEntries && stats.getLong(1) <= maxBytes)
+      score(spark, docs, textCol,
+        buildModel(modelDf, discount, maxEntries, maxBytes), idCol)
+    else
+      scoreJoin(spark, docs, textCol, modelDf, discount, idCol)
+  }
 }

@@ -80,6 +80,29 @@ class KnScorerSpec extends AnyFunSuite with SparkTestBase {
     assert(got === ((0L, 6L)))
   }
 
+  test("distributed join tier == broadcast tier, every branch, bit-equal") {
+    // the branch-battery doc plus empty/single-token docs (the left-join
+    // zero-fill path), scored by both tiers against the same model table
+    val crawl = Seq((7L, "a b q c a z"), (8L, ""), (9L, " lone "),
+      (10L, null.asInstanceOf[String]), (11L, "a b a b a c")).toDF("doc_id", "text")
+    val modelDf = KnTrainer.bigramModel(spark, seed, "text")
+    val broadcastTier = KnScorer.score(spark, crawl, "text",
+      KnScorer.buildModel(modelDf)).orderBy("doc_id").collect()
+    val joinTier = KnScorer.scoreJoin(spark, crawl, "text", modelDf)
+      .orderBy("doc_id").collect()
+    assert(broadcastTier === joinTier)
+  }
+
+  test("trainAndScore degrades to the join tier over budget, value-exactly") {
+    val crawl = Seq((7L, "a b q c a z"), (8L, "b a b a")).toDF("doc_id", "text")
+    val inBudget = KnScorer.trainAndScore(spark, seed, crawl, "text")
+      .orderBy("doc_id").collect()
+    val forcedJoin = KnScorer.trainAndScore(spark, seed, crawl, "text",
+      maxEntries = 1L) // 3 bigram types > 1 → the distributed tier
+      .orderBy("doc_id").collect()
+    assert(inBudget === forcedJoin)
+  }
+
   test("CCNet tercile path (GroupedRank + ntileExpr) equals a global ntile window") {
     val docs = spark.range(90).select(
       $"id".as("doc_id"),
