@@ -227,6 +227,16 @@ object Stress {
       (model.tri.size().toLong, row.getLong(0), row.getLong(1))
     }
 
+    // trigram scoring with the DISTRIBUTED JOIN TIER forced: five model-
+    // table join sides; the exact Long score-sum must equal kn3's above
+    val ((kn3JoinScoreSum, kn3JoinOov), kn3JoinSec) = timed {
+      val scored = graft.text.KnScorer.trainAndScoreTri(spark,
+        docs.where(col("id") % 2 === 0), docs, "text",
+        maxEntries = 1L, idCol = "id")
+      val row = scored.agg(sum(col("score_micro")), sum(col("n_oov"))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // span-level benchmark decontamination at 50×: probe excerpts from
     // every 97th doc (benchmark-bounded broadcast), k=20 windows; the
     // corpus never shuffles in the broadcast tier. Run again with the
@@ -325,6 +335,7 @@ object Stress {
         f""""kn_train_score":{"sec":$knSec%.1f,"entries":$knEntries,"score_sum":$knScoreSum,"oov":$knOov},""" +
         f""""kn_score_join":{"sec":$knJoinSec%.1f,"score_sum":$knJoinScoreSum,"oov":$knJoinOov},""" +
         f""""kn3_train_score":{"sec":$kn3Sec%.1f,"entries":$kn3Entries,"score_sum":$kn3ScoreSum,"oov":$kn3Oov},""" +
+        f""""kn3_score_join":{"sec":$kn3JoinSec%.1f,"score_sum":$kn3JoinScoreSum,"oov":$kn3JoinOov},""" +
         f""""span_decon":{"sec":$dcSec%.1f,"spans":$dcSpans,"chars_removed":$dcRemoved},""" +
         f""""span_decon_dist":{"sec":$dcDistSec%.1f,"spans":$dcDistSpans,"chars_removed":$dcDistRemoved},""" +
         f""""dsir":{"sec":$dsirSec%.1f,"feats":$dsirFeats,"weight_sum":$dsirWeightSum},""" +

@@ -298,16 +298,116 @@ object KnScorer {
       .toDF(idCol, "n_trigrams", "n_oov", "score_micro")
   }
 
-  /** Train-on-`seed`, score-`docs` — the trigram CCNet composition. */
+  /** The trigram distributed scoring tier — [[scoreJoin]] at order 3:
+    * five model-table join sides (tri/ctx3/pair2/ctx2/cont1), the
+    * [[scoreTri]] backoff chain replayed in column expressions, bit-equal
+    * to the broadcast tier (spec + 50× stress assert). */
+  def scoreTriJoin(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      modelDf: DataFrame,
+      discount: Double = 0.75,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    import spark.implicits._
+    val m = graft.run.Materialize.pin(
+      modelDf.select("w1", "w2", "w3", "c3", "c_ab", "n_ab",
+        "n_bc", "n_b_mid", "n_b_cont", "n_c"))
+    val t = m.count()
+    val tD = t.toDouble
+    // the buildTriModel fixed op order, verbatim (one UDF per table —
+    // all over the seed-bounded TYPE table, never the crawl)
+    def p2Of(nBc: Long, nBMid: Long, nBCont: Long, nC: Long): Double =
+      (math.max(nBc.toDouble - discount, 0.0) +
+        (discount * nBCont.toDouble) * (nC.toDouble / tD)) / nBMid.toDouble
+    val triMicro = udf((c3: Long, cAb: Long, nAb: Long, nBc: Long,
+        nBMid: Long, nBCont: Long, nC: Long) =>
+      micro((math.max(c3.toDouble - discount, 0.0) +
+        (discount * nAb.toDouble) * p2Of(nBc, nBMid, nBCont, nC)) / cAb.toDouble))
+    val ctx3Micro = udf((cAb: Long, nAb: Long) =>
+      micro((discount * nAb.toDouble) / cAb.toDouble))
+    val pair2Micro = udf((nBc: Long, nBMid: Long, nBCont: Long, nC: Long) =>
+      micro(p2Of(nBc, nBMid, nBCont, nC)))
+    val ctx2Micro = udf((nBMid: Long, nBCont: Long) =>
+      micro((discount * nBCont.toDouble) / nBMid.toDouble))
+    val cont1Micro = udf((nC: Long) => micro(nC.toDouble / tD))
+    val unk = micro(1.0 / (tD + 1.0)).toLong
+
+    val triT = m.select(col("w1"), col("w2"), col("w3"),
+      triMicro(col("c3"), col("c_ab"), col("n_ab"), col("n_bc"),
+        col("n_b_mid"), col("n_b_cont"), col("n_c")).as("tri_micro"))
+    val ctx3T = m.select(col("w1"), col("w2"),
+      ctx3Micro(col("c_ab"), col("n_ab")).as("ctx3_micro"))
+      .dropDuplicates("w1", "w2")
+    val pair2T = m.select(col("w2"), col("w3"),
+      pair2Micro(col("n_bc"), col("n_b_mid"), col("n_b_cont"), col("n_c"))
+        .as("pair2_micro"))
+      .dropDuplicates("w2", "w3")
+    val ctx2T = m.select(col("w2"),
+      ctx2Micro(col("n_b_mid"), col("n_b_cont")).as("ctx2_micro"))
+      .dropDuplicates("w2")
+    val cont1T = m.select(col("w3"),
+      cont1Micro(col("n_c")).as("cont1_micro"))
+      .dropDuplicates("w3")
+
+    val ids = docs.select(col(idCol).cast("long").as(idCol))
+    val tri = docs
+      .select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .flatMap { case (id, txt) =>
+        val ws = KnTrainer.pyTokens(txt)
+        (2 until ws.length).iterator.map(i => (id, ws(i - 2), ws(i - 1), ws(i)))
+      }
+      .toDF(idCol, "w1", "w2", "w3")
+    val scored = tri
+      .join(triT, Seq("w1", "w2", "w3"), "left")
+      .join(ctx3T, Seq("w1", "w2"), "left")
+      .join(pair2T, Seq("w2", "w3"), "left")
+      .join(ctx2T, Seq("w2"), "left")
+      .join(cont1T, Seq("w3"), "left")
+      .select(col(idCol),
+        when(col("tri_micro").isNotNull, col("tri_micro").cast("long"))
+          .otherwise(coalesce(col("ctx3_micro").cast("long"), lit(0L)) +
+            coalesce(col("pair2_micro").cast("long"),
+              coalesce(col("ctx2_micro").cast("long"), lit(0L)) +
+                coalesce(col("cont1_micro").cast("long"), lit(unk))))
+          .as("m"),
+        when(col("tri_micro").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("oov")).as("n_oov"),
+        sum(col("m")).as("score_micro"))
+    ids
+      .join(scored, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_trigrams", "n_oov", "score_micro"))
+      .select(idCol, "n_trigrams", "n_oov", "score_micro")
+  }
+
+  /** Train-on-`seed`, score-`docs` — the trigram CCNet composition, with
+    * the same budget-based tier selection as [[trainAndScore]]. */
   def trainAndScoreTri(
       spark: SparkSession,
       seed: DataFrame,
       docs: DataFrame,
       textCol: String,
-      discount: Double = 0.75
-  ): DataFrame =
-    scoreTri(spark, docs, textCol,
-      buildTriModel(KnTrainer.trigramModel(spark, seed, textCol, discount), discount))
+      discount: Double = 0.75,
+      maxEntries: Long = 3000000L,
+      maxBytes: Long = 192L * 1024 * 1024,
+      idCol: String = "doc_id"
+  ): DataFrame = {
+    val modelDf = KnTrainer.trigramModel(spark, seed, textCol, discount)
+    val stats = modelDf
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(length(col("w1")) + length(col("w2")) + length(col("w3"))),
+          lit(0L)).as("b"))
+      .head()
+    if (stats.getLong(0) <= maxEntries && stats.getLong(1) <= maxBytes)
+      scoreTri(spark, docs, textCol,
+        buildTriModel(modelDf, discount, maxEntries, maxBytes), idCol)
+    else
+      scoreTriJoin(spark, docs, textCol, modelDf, discount, idCol)
+  }
 
   /** DISTRIBUTED scoring tier — the over-budget path: when the seed model
     * exceeds the driver broadcast budget, score via joins against the

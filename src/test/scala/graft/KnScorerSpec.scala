@@ -103,6 +103,20 @@ class KnScorerSpec extends AnyFunSuite with SparkTestBase {
     assert(inBudget === forcedJoin)
   }
 
+  test("trigram join tier == broadcast tier, every backoff branch, bit-equal") {
+    val crawl = Seq((7L, "a b a b q a b a c z c"), (8L, ""), (9L, "x y"),
+      (10L, null.asInstanceOf[String]), (11L, "a b a b a c")).toDF("doc_id", "text")
+    val modelDf = KnTrainer.trigramModel(spark, seed, "text")
+    val broadcastTier = KnScorer.scoreTri(spark, crawl, "text",
+      KnScorer.buildTriModel(modelDf)).orderBy("doc_id").collect()
+    val joinTier = KnScorer.scoreTriJoin(spark, crawl, "text", modelDf)
+      .orderBy("doc_id").collect()
+    assert(broadcastTier === joinTier)
+    val forced = KnScorer.trainAndScoreTri(spark, seed, crawl, "text",
+      maxEntries = 1L).orderBy("doc_id").collect()
+    assert(broadcastTier === forced)
+  }
+
   test("CCNet tercile path (GroupedRank + ntileExpr) equals a global ntile window") {
     val docs = spark.range(90).select(
       $"id".as("doc_id"),
