@@ -566,6 +566,37 @@ object SparkEntry {
       graft.quality.Repetition(s, wrapped, "text").orderBy("doc_id")
     }),
 
+    // C4-style line filters (Raffel et al. 2020 §2.2, the cleaning half —
+    // q74 is the dedup half): terminal-punctuation / min-words /
+    // javascript line keeps plus lorem-ipsum / brace / too-few-lines doc
+    // drops. The corpus is punctuation-free by construction, so the line
+    // structure synthesizes sentences deterministically: the 4-token wrap
+    // with a terminal period on every other line (kept path exercised),
+    // plus injections — every 11th doc a lorem-ipsum tail, every 13th a
+    // brace, every 17th a javascript line (the line-drop rule). All-
+    // string/integer contract, one zero-shuffle map pass.
+    "q81_c4_line_filters" -> ((s, dir) => {
+      val raw = docs(s, dir).select("doc_id", "text")
+      val injected = raw.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" Lorem IPSUM dolor")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" some {code} block")))
+          .otherwise(col("text")).as("text"))
+      val arr = split(col("text"), " ")
+      val lined = injected.select(col("doc_id"),
+        concat(
+          array_join(
+            transform(sequence(lit(0), size(arr) - 1, lit(4)),
+              i => concat(array_join(slice(arr, i + 1, lit(4)), " "),
+                when(pmod(i, lit(8)) === 0, lit(".")).otherwise(lit("")))),
+            "\n"),
+          when(col("doc_id") % 17 === 0,
+            lit("\nPlease enable javascript right now.")).otherwise(lit("")))
+          .as("text"))
+      graft.quality.LineFilters(s, lined, "text").orderBy("doc_id")
+    }),
+
     // BM25 batch retrieval: benchmark excerpts (every 20th doc, the q72
     // probe shape) retrieve their top-10 corpus docs — broadcast query
     // workload (no inverted index), micro-unit integer scores, GroupedTopK
@@ -1520,6 +1551,15 @@ object SparkEntry {
                    AND dup9_chars * 100 <= 11 * greatest(1, n_chars)
                    AND dup10_chars * 100 <= 10 * greatest(1, n_chars)) AS keep
            FROM read_parquet('$golden/repetition_sf001.parquet')
+           ORDER BY doc_id""",
+      // the C4 rule chain replayed by an independent all-string Python
+      // chain (tools/gen_c4filter_golden.py: same injections, 4-token
+      // wrap, ASCII-only case fold, line keeps, doc-drop order);
+      // doc_keep is replayed in SQL from drop_reason
+      "q81_c4_line_filters" ->
+        s"""SELECT doc_id, cleaned, n_lines_in, n_lines_kept,
+                  (drop_reason IS NULL) AS doc_keep, drop_reason
+           FROM read_parquet('$golden/c4filter_sf001.parquet')
            ORDER BY doc_id""",
       // BM25 replayed by an independent pure-Python chain
       // (tools/gen_bm25_golden.py: dict df counts, one ln per query term,
