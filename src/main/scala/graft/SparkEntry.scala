@@ -638,6 +638,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
+    // q77's plain top-k is its zero-temperature case): perturb each log
+    // weight with seeded integer micro-nat Gumbel noise and take the
+    // top-500 by the exact Long key. Same zero-shuffle scoring pass.
+    "q82_dsir_gumbel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lam = graft.text.Dsir.weightTable(
+        graft.text.Dsir.bucketCounts(s, d.where(col("doc_id") % 2 === 0), "text"),
+        graft.text.Dsir.bucketCounts(s, d.where(col("doc_id") % 2 =!= 0), "text"))
+      val scored = graft.text.Dsir.scoreGumbel(s, d, "text", lam, seed = 7L)
+      graft.sample.GroupedRank.rank(
+        s, scored, lit(0), Seq(col("key_micro").desc, col("doc_id")))
+        .withColumn("selected", col("group_rank") <= 500)
+        .select("doc_id", "weight_micro", "gumbel_micro", "key_micro", "selected")
+        .orderBy("doc_id")
+    }),
+
     // CCNet perplexity buckets (Wenzek et al. 2020 §4.3): rank the crawl
     // by mean in-model log-prob and cut into head/middle/tail terciles.
     // Rank+count come from the scalable GroupedRank machinery (range
@@ -1590,6 +1607,19 @@ object SparkEntry {
              r AS (SELECT *, row_number()
                   OVER (ORDER BY weight_micro DESC, doc_id) AS rk FROM s)
            SELECT doc_id, n_feats, weight_micro, rk <= 500 AS selected
+           FROM r ORDER BY doc_id""",
+      // the Gumbel keys replayed by the same independent Python chain
+      // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
+      // doc_id, strict-interior u, two lns quantized once to micro-nats);
+      // selection replayed in SQL over the exact Long keys
+      "q82_dsir_gumbel" ->
+        s"""WITH s AS (SELECT doc_id, weight_micro, gumbel_micro,
+                  weight_micro + gumbel_micro AS key_micro
+                FROM read_parquet('$golden/dsir_gumbel_sf001.parquet')),
+             r AS (SELECT *, row_number()
+                  OVER (ORDER BY key_micro DESC, doc_id) AS rk FROM s)
+           SELECT doc_id, weight_micro, gumbel_micro, key_micro,
+                  rk <= 500 AS selected
            FROM r ORDER BY doc_id""",
       // CCNet terciles replayed in SQL over the same golden: the mean
       // log-prob is one IEEE double division of the golden's exact

@@ -146,6 +146,36 @@ object Dsir {
       .toDF(idCol, "n_feats", "weight_micro")
   }
 
+  /** Seeded Gumbel perturbation in integer micro-nats — the RESAMPLING
+    * half of DSIR (the paper selects by `log w(x) + Gumbel noise`; plain
+    * top-k is the zero-temperature special case). The noise is a pure
+    * function of (id, seed): `u = ((xxh64_long(id, seed) >>> 11) + 0.5) ·
+    * 2⁻⁵³ ∈ (0,1)` strictly, `g = −ln(−ln u)` quantized once to
+    * micro-nats, so the perturbed key `weight_micro + gumbel_micro` is an
+    * exact Long — reproducible across runs/cluster sizes and replicated
+    * bit-for-bit by the Python oracle (two `ln`s per document — the
+    * micro-nat 1-ulp argument). */
+  def gumbelMicro(id: Long, seed: Long): Long = {
+    val h = XXH64.hashLong(id, seed)
+    val u = ((h >>> 11).toDouble + 0.5) * (1.0 / (1L << 53))
+    math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong
+  }
+
+  /** [[score]] plus the seeded Gumbel key: (idCol, n_feats, weight_micro,
+    * gumbel_micro, key_micro) — still one narrow zero-shuffle pass. */
+  def scoreGumbel(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      lam: Array[Int],
+      seed: Long,
+      idCol: String = "doc_id"
+  ): DataFrame =
+    score(spark, docs, textCol, lam, idCol)
+      .withColumn("gumbel_micro",
+        udf((id: Long) => gumbelMicro(id, seed)).apply(col(idCol)))
+      .withColumn("key_micro", col("weight_micro") + col("gumbel_micro"))
+
   /** Train-on-(`target`, `raw`), weight-`docs` in one call. */
   def trainAndScore(
       spark: SparkSession,

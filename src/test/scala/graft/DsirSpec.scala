@@ -71,6 +71,36 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(scored(0)._3 > scored(1)._3)
   }
 
+  test("gumbel key: strict-interior u, pinned values, seeded determinism") {
+    // python3 (tools replication): xxh64(struct.pack('<q', 12345), 7) ->
+    // 9005221523427427555; u = ((h>>11)+0.5)*2**-53; floor(-log(-log(u))*1e6+0.5)
+    val h = 9005221523427427555L
+    val u = ((h >>> 11).toDouble + 0.5) * (1.0 / (1L << 53))
+    assert(Dsir.gumbelMicro(12345L, 7L) ===
+      math.floor(-math.log(-math.log(u)) * 1e6 + 0.5).toLong)
+    // deterministic and seed-sensitive
+    assert(Dsir.gumbelMicro(42L, 7L) === Dsir.gumbelMicro(42L, 7L))
+    assert(Dsir.gumbelMicro(42L, 7L) !== Dsir.gumbelMicro(42L, 8L))
+  }
+
+  test("scoreGumbel = score + exact Long key; partition-invariant") {
+    val d = Seq((0L, "a b c"), (1L, "c d e"), (2L, "f g")).toDF("doc_id", "text")
+    val lam = Dsir.weightTable(
+      Dsir.bucketCounts(spark, d.where(col("doc_id") === 0), "text"),
+      Dsir.bucketCounts(spark, d.where(col("doc_id") =!= 0), "text"))
+    val one = Dsir.scoreGumbel(spark, d.repartition(1), "text", lam, seed = 7L)
+      .orderBy("doc_id").collect()
+    val many = Dsir.scoreGumbel(spark, d.repartition(5), "text", lam, seed = 7L)
+      .orderBy("doc_id").collect()
+    assert(one === many)
+    one.foreach { r =>
+      assert(r.getAs[Long]("key_micro") ===
+        r.getAs[Long]("weight_micro") + r.getAs[Long]("gumbel_micro"))
+      assert(r.getAs[Long]("gumbel_micro") ===
+        Dsir.gumbelMicro(r.getAs[Long]("doc_id"), 7L))
+    }
+  }
+
   test("null / empty docs score (0, 0) and weights are partition-invariant") {
     val d = Seq((0L, "a b c a b"), (1L, null.asInstanceOf[String]), (2L, ""))
       .toDF("doc_id", "text")

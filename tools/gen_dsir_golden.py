@@ -23,17 +23,29 @@ shared code) — DSIR, Xie et al. 2023 (arXiv:2302.03169):
 
 Output parquet: (doc_id, n_feats, weight_micro) for ALL documents.
 
-Usage: python3 tools/gen_dsir_golden.py [documents_parquet] [out_parquet]
+With --gumbel (the q82 oracle): additionally derive the seeded Gumbel
+perturbation (seed 7) —
+    u = ((xxh64(little_endian_int64(doc_id), 7) >> 11) + 0.5) * 2**-53
+    gumbel_micro = floor(-log(-log(u)) * 1e6 + 0.5)
+(strictly interior u; two lns quantized ONCE — the micro-nat 1-ulp
+argument) and write (doc_id, weight_micro, gumbel_micro) to
+src/test/resources/golden/dsir_gumbel_sf001.parquet.
+
+Usage: python3 tools/gen_dsir_golden.py [--gumbel] [documents_parquet] [out_parquet]
 """
 import math
+import struct
 import sys
 
 import duckdb
 
-DOCS = (sys.argv[1] if len(sys.argv) > 1
+GUMBEL = "--gumbel" in sys.argv
+_pos = [a for a in sys.argv[1:] if a != "--gumbel"]
+DOCS = (_pos[0] if len(_pos) > 0
         else "/root/testdata/sf0.01/documents.parquet")
-OUT = (sys.argv[2] if len(sys.argv) > 2
-       else "src/test/resources/golden/dsir_sf001.parquet")
+OUT = (_pos[1] if len(_pos) > 1
+       else ("src/test/resources/golden/dsir_gumbel_sf001.parquet" if GUMBEL
+             else "src/test/resources/golden/dsir_sf001.parquet"))
 
 B = 4096
 M64 = (1 << 64) - 1
@@ -152,6 +164,19 @@ def main():
         out.append((doc_id, n, s))
 
     con = duckdb.connect()
+    if GUMBEL:
+        def gmicro(doc_id: int) -> int:
+            h = xxh64(struct.pack("<q", doc_id), 7)
+            u = ((h >> 11) + 0.5) * 2.0 ** -53
+            return math.floor(-math.log(-math.log(u)) * 1e6 + 0.5)
+        rows_g = [(doc_id, w, gmicro(doc_id)) for doc_id, _, w in out]
+        con.execute("CREATE TABLE g (doc_id BIGINT, weight_micro BIGINT, "
+                    "gumbel_micro BIGINT)")
+        con.executemany("INSERT INTO g VALUES (?, ?, ?)", rows_g)
+        con.execute(f"COPY g TO '{OUT}' (FORMAT PARQUET)")
+        print(f"wrote {len(rows_g)} gumbel rows -> {OUT}  "
+              f"(sum_g={sum(r[2] for r in rows_g)})")
+        return
     con.execute(
         "CREATE TABLE g (doc_id BIGINT, n_feats BIGINT, weight_micro BIGINT)")
     con.executemany("INSERT INTO g VALUES (?, ?, ?)", out)
