@@ -638,6 +638,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Round-5 composition capstone — the web-corpus cleaning manifest:
+    // C4 line filters (q81 stage) → Gopher repetition gate (q78) → zlib
+    // compressibility gate (q79) → CCNet perplexity tercile (q70) → DSIR
+    // top-500 selection (q77), final keep = all gates pass AND the doc is
+    // not in the perplexity tail. Every stage recomputes from the corpus
+    // (nothing reads goldens); the ORACLE composes the five committed
+    // stage goldens in SQL — value-exact end-to-end without a new golden.
+    "q83_webclean_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // q81 stage (same injections + synthesized sentence lines)
+      val c4 = queries("q81_c4_line_filters")(s, dir)
+        .select(col("doc_id"), col("doc_keep").as("c4_keep"))
+      // q78 stage (same injected wrap)
+      val rep = queries("q78_repetition")(s, dir)
+        .select(col("doc_id"), col("keep").as("rep_keep"))
+      // q79 stage
+      val z = queries("q79_compress_ratio")(s, dir)
+        .select(col("doc_id"), col("keep").as("z_keep"))
+      // q70 stage (bucket)
+      val bucket = queries("q70_ccnet_buckets")(s, dir)
+        .select(col("doc_id"), col("bucket"))
+      // q77 stage (selection flag)
+      val sel = queries("q77_dsir_select")(s, dir)
+        .select(col("doc_id"), col("selected").as("dsir_selected"))
+      d.select("doc_id")
+        .join(c4, Seq("doc_id"), "left")
+        .join(rep, Seq("doc_id"), "left")
+        .join(z, Seq("doc_id"), "left")
+        .join(bucket, Seq("doc_id"), "left")
+        .join(sel, Seq("doc_id"), "left")
+        .na.fill(false, Seq("c4_keep", "rep_keep", "z_keep", "dsir_selected"))
+        .withColumn("final_keep",
+          col("c4_keep") && col("rep_keep") && col("z_keep") &&
+            coalesce(col("bucket") =!= "tail", lit(false)))
+        .orderBy("doc_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -1608,6 +1645,53 @@ object SparkEntry {
                   OVER (ORDER BY weight_micro DESC, doc_id) AS rk FROM s)
            SELECT doc_id, n_feats, weight_micro, rk <= 500 AS selected
            FROM r ORDER BY doc_id""",
+      // the composition capstone replayed by JOINING the five committed
+      // stage goldens in SQL — each gate is the stage oracle's own rule,
+      // so end-to-end exactness follows from the per-stage goldens with
+      // no new golden artifact
+      "q83_webclean_manifest" ->
+        s"""WITH c4 AS (SELECT doc_id, (drop_reason IS NULL) AS c4_keep
+                FROM read_parquet('$golden/c4filter_sf001.parquet')),
+             rep AS (SELECT doc_id,
+                  (n_dup_lines * 100 <= 30 * n_lines
+                   AND dup_line_chars * 100 <= 20 * greatest(1, line_chars)
+                   AND top2_chars * 100 <= 20 * greatest(1, n_chars)
+                   AND top3_chars * 100 <= 18 * greatest(1, n_chars)
+                   AND top4_chars * 100 <= 16 * greatest(1, n_chars)
+                   AND dup5_chars * 100 <= 15 * greatest(1, n_chars)
+                   AND dup6_chars * 100 <= 14 * greatest(1, n_chars)
+                   AND dup7_chars * 100 <= 13 * greatest(1, n_chars)
+                   AND dup8_chars * 100 <= 12 * greatest(1, n_chars)
+                   AND dup9_chars * 100 <= 11 * greatest(1, n_chars)
+                   AND dup10_chars * 100 <= 10 * greatest(1, n_chars)) AS rep_keep
+                FROM read_parquet('$golden/repetition_sf001.parquet')),
+             z AS (SELECT doc_id, (n_bytes < 64 OR (z_bytes * 100 >= 30 * n_bytes
+                   AND z_bytes * 100 <= 110 * n_bytes)) AS z_keep
+                FROM read_parquet('$golden/compress_sf001.parquet')),
+             ks AS (SELECT doc_id,
+                  score_micro::DOUBLE / n_bigrams::DOUBLE AS m
+                FROM read_parquet('$golden/kn_score_sf001.parquet')
+                WHERE n_bigrams > 0),
+             b AS (SELECT doc_id, CASE ntile(3) OVER (ORDER BY m DESC, doc_id)
+                  WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+                FROM ks),
+             ds AS (SELECT doc_id, (row_number()
+                  OVER (ORDER BY weight_micro DESC, doc_id)) <= 500 AS dsir_selected
+                FROM read_parquet('$golden/dsir_sf001.parquet')),
+             base AS (SELECT doc_id FROM read_parquet('$golden/dsir_sf001.parquet'))
+           SELECT base.doc_id,
+                  coalesce(c4_keep, false) AS c4_keep,
+                  coalesce(rep_keep, false) AS rep_keep,
+                  coalesce(z_keep, false) AS z_keep,
+                  bucket,
+                  coalesce(dsir_selected, false) AS dsir_selected,
+                  (coalesce(c4_keep, false) AND coalesce(rep_keep, false)
+                   AND coalesce(z_keep, false)
+                   AND coalesce(bucket != 'tail', false)) AS final_keep
+           FROM base LEFT JOIN c4 USING (doc_id) LEFT JOIN rep USING (doc_id)
+             LEFT JOIN z USING (doc_id) LEFT JOIN b USING (doc_id)
+             LEFT JOIN ds USING (doc_id)
+           ORDER BY doc_id""",
       // the Gumbel keys replayed by the same independent Python chain
       // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
       // doc_id, strict-interior u, two lns quantized once to micro-nats);
