@@ -41,9 +41,15 @@ object Bm25 {
   val K1 = 1.2
   val B = 0.75
 
+  /** `termQueries` is the workload-side inverted index (term → indices
+    * into `queries`): scoring touches only the queries sharing at least
+    * one matched term with the document, so the per-doc cost scales with
+    * the MATCHED workload, not the whole batch — the difference between
+    * O(docs × queries) and O(docs × candidates) at a 100k-query batch. */
   final case class Model(
       idf: java.util.HashMap[String, java.lang.Double],
       queries: Array[(Long, Array[String])],
+      termQueries: java.util.HashMap[String, Array[Int]],
       avgdl: Double
   ) extends Serializable
 
@@ -118,7 +124,16 @@ object Bm25 {
       val d = dfRows.getOrElse(t, 0L).toDouble
       idf.put(t, math.log(1.0 + (n.toDouble - d + 0.5) / (d + 0.5)))
     }
-    Model(idf, qRows, avgdl)
+    val termQueries = new java.util.HashMap[String, Array[Int]]()
+    val tmp = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+    qRows.zipWithIndex.foreach { case ((_, terms), qi) =>
+      terms.foreach { t =>
+        tmp.computeIfAbsent(t,
+          _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += qi
+      }
+    }
+    tmp.forEach((t, qs) => termQueries.put(t, qs.toArray))
+    Model(idf, qRows, termQueries, avgdl)
   }
 
   /** One narrow corpus pass: a row per (query, doc with ≥ 1 matched
@@ -147,7 +162,19 @@ object Bm25 {
         else {
           val ratio = dl / m.avgdl
           val norm = K1 * (1.0 - B + B * ratio)
-          m.queries.iterator.flatMap { case (qid, terms) =>
+          // candidates = queries sharing >= 1 matched term (the inverted
+          // workload index) — identical output to scanning all queries,
+          // since a query with zero matches emits nothing anyway
+          val cand = new Array[Boolean](m.queries.length)
+          tf.keySet().forEach { t =>
+            val qs = m.termQueries.get(t)
+            if (qs != null) {
+              var i = 0
+              while (i < qs.length) { cand(qs(i)) = true; i += 1 }
+            }
+          }
+          (0 until m.queries.length).iterator.filter(cand).map { qi =>
+            val (qid, terms) = m.queries(qi)
             var s = 0L
             var matched = 0L
             terms.foreach { t =>
@@ -160,8 +187,7 @@ object Bm25 {
                 s += math.floor(c * 1e6 + 0.5).toLong
               }
             }
-            if (matched == 0) Iterator.empty
-            else Iterator.single((qid, id, matched, s))
+            (qid, id, matched, s)
           }
         }
       }
