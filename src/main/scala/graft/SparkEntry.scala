@@ -675,6 +675,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Incremental DSIR maintenance: bucket counts are a sufficient
+    // statistic, so folding half-increments reproduces the full target
+    // model WITHOUT re-reading the earlier target shards — update ==
+    // retrain, and the q77 golden IS the oracle (the q71 pattern).
+    "q84_dsir_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tgtA = d.where(col("doc_id") % 4 === 0) // the "existing" target
+      val tgtB = d.where(col("doc_id") % 4 === 2) // the increment
+      val target = graft.text.Dsir.updateCounts(s,
+        graft.text.Dsir.bucketCounts(s, tgtA, "text"), tgtB, "text")
+      val raw = graft.text.Dsir.bucketCounts(
+        s, d.where(col("doc_id") % 2 =!= 0), "text")
+      val scored = graft.text.Dsir.score(s, d, "text",
+        graft.text.Dsir.weightTable(target, raw))
+      graft.sample.GroupedRank.rank(
+        s, scored, lit(0), Seq(col("weight_micro").desc, col("doc_id")))
+        .withColumn("selected", col("group_rank") <= 500)
+        .select("doc_id", "n_feats", "weight_micro", "selected")
+        .orderBy("doc_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -1692,6 +1713,16 @@ object SparkEntry {
              LEFT JOIN z USING (doc_id) LEFT JOIN b USING (doc_id)
              LEFT JOIN ds USING (doc_id)
            ORDER BY doc_id""",
+      // incremental update == retrain (bucket counts are a sufficient
+      // statistic), so the q77 golden IS the oracle — same contract over
+      // the same corpus halves
+      "q84_dsir_incremental" ->
+        s"""WITH s AS (SELECT doc_id, n_feats, weight_micro
+                FROM read_parquet('$golden/dsir_sf001.parquet')),
+             r AS (SELECT *, row_number()
+                  OVER (ORDER BY weight_micro DESC, doc_id) AS rk FROM s)
+           SELECT doc_id, n_feats, weight_micro, rk <= 500 AS selected
+           FROM r ORDER BY doc_id""",
       // the Gumbel keys replayed by the same independent Python chain
       // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
       // doc_id, strict-interior u, two lns quantized once to micro-nats);

@@ -102,6 +102,24 @@ object Dsir {
     counts
   }
 
+  /** Incremental model maintenance: bucket counts are a SUFFICIENT
+    * STATISTIC (plain occurrence sums), so folding an increment is
+    * element-wise Long addition over the b-length arrays — update ==
+    * retrain exactly, and the existing corpus is never re-read (the
+    * KN/BPE incremental pattern). */
+  def updateCounts(
+      spark: SparkSession,
+      prev: Array[Long],
+      newDocs: DataFrame,
+      textCol: String
+  ): Array[Long] = {
+    val inc = bucketCounts(spark, newDocs, textCol, prev.length)
+    val out = new Array[Long](prev.length)
+    var f = 0
+    while (f < prev.length) { out(f) = prev(f) + inc(f); f += 1 }
+    out
+  }
+
   /** The broadcastable per-bucket weight table:
     * `lam(f) = micro((c_t(f)+1)/(N_t+b)) − micro((c_r(f)+1)/(N_r+b))`. */
   def weightTable(target: Array[Long], raw: Array[Long]): Array[Int] = {

@@ -71,6 +71,16 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(scored(0)._3 > scored(1)._3)
   }
 
+  test("incremental update == retrain (bucket counts are sufficient)") {
+    val d = Seq((0L, "a b c a"), (1L, "c d e f"), (2L, "g h"), (3L, "a a a"))
+      .toDF("doc_id", "text")
+    val full = Dsir.bucketCounts(spark, d, "text")
+    val folded = Dsir.updateCounts(spark,
+      Dsir.bucketCounts(spark, d.where(col("doc_id") < 2), "text"),
+      d.where(col("doc_id") >= 2), "text")
+    assert(full === folded)
+  }
+
   test("gumbel key: strict-interior u, pinned values, seeded determinism") {
     // python3 (tools replication): xxh64(struct.pack('<q', 12345), 7) ->
     // 9005221523427427555; u = ((h>>11)+0.5)*2**-53; floor(-log(-log(u))*1e6+0.5)
