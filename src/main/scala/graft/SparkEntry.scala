@@ -628,9 +628,10 @@ object SparkEntry {
     // GroupedRank machinery (range exchange, never a one-partition window).
     "q77_dsir_select" -> ((s, dir) => {
       val d = docs(s, dir)
-      val scored = graft.text.Dsir.trainAndScore(
-        s, d.where(col("doc_id") % 2 === 0), d.where(col("doc_id") % 2 =!= 0),
-        d, "text")
+      val (tgt, raw) = graft.text.Dsir.bucketCountsPair(
+        s, d, "text", col("doc_id") % 2 === 0)
+      val scored = graft.text.Dsir.score(s, d, "text",
+        graft.text.Dsir.weightTable(tgt, raw))
       graft.sample.GroupedRank.rank(
         s, scored, lit(0), Seq(col("weight_micro").desc, col("doc_id")))
         .withColumn("selected", col("group_rank") <= 500)
@@ -702,10 +703,10 @@ object SparkEntry {
     // top-500 by the exact Long key. Same zero-shuffle scoring pass.
     "q82_dsir_gumbel" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lam = graft.text.Dsir.weightTable(
-        graft.text.Dsir.bucketCounts(s, d.where(col("doc_id") % 2 === 0), "text"),
-        graft.text.Dsir.bucketCounts(s, d.where(col("doc_id") % 2 =!= 0), "text"))
-      val scored = graft.text.Dsir.scoreGumbel(s, d, "text", lam, seed = 7L)
+      val (tgt, raw) = graft.text.Dsir.bucketCountsPair(
+        s, d, "text", col("doc_id") % 2 === 0)
+      val scored = graft.text.Dsir.scoreGumbel(s, d, "text",
+        graft.text.Dsir.weightTable(tgt, raw), seed = 7L)
       graft.sample.GroupedRank.rank(
         s, scored, lit(0), Seq(col("key_micro").desc, col("doc_id")))
         .withColumn("selected", col("group_rank") <= 500)

@@ -42,12 +42,24 @@ object Compressibility {
     * length is the signal). */
   def zlen(bytes: Array[Byte]): Long = {
     val d = new java.util.zip.Deflater(6, false)
+    try zlenWith(d, new Array[Byte](65536), bytes)
+    finally d.end()
+  }
+
+  /** The counting loop against a caller-owned (reusable) Deflater +
+    * scratch buffer — `reset()` restores the initial-stream state, so a
+    * per-partition instance gives byte-identical lengths to a fresh one
+    * (asserted in the spec) without a native allocation per row. */
+  def zlenWith(
+      d: java.util.zip.Deflater,
+      buf: Array[Byte],
+      bytes: Array[Byte]
+  ): Long = {
+    d.reset()
     d.setInput(bytes)
     d.finish()
-    val buf = new Array[Byte](65536)
     var n = 0L
     while (!d.finished()) n += d.deflate(buf)
-    d.end()
     n
   }
 
@@ -68,11 +80,17 @@ object Compressibility {
     docs
       .select(col(idCol).cast("long"), col(textCol))
       .as[(Long, String)]
-      .map { case (id, text) =>
-        val b = (if (text == null) "" else text)
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val z = zlen(b)
-        (id, b.length.toLong, z, keep(b.length.toLong, z))
+      .mapPartitions { it =>
+        // one native Deflater + scratch buffer per partition, reset per
+        // row — no per-row native allocation on the 100-TB path
+        val d = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](65536)
+        it.map { case (id, text) =>
+          val b = (if (text == null) "" else text)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val z = zlenWith(d, buf, b)
+          (id, b.length.toLong, z, keep(b.length.toLong, z))
+        }
       }
       .toDF(idCol, "n_bytes", "z_bytes", "keep")
   }

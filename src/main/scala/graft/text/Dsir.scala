@@ -102,6 +102,33 @@ object Dsir {
     counts
   }
 
+  /** Both halves' bucket counts in ONE corpus pass (the q77 setup reads
+    * disjoint halves of the same table, so two [[bucketCounts]] calls
+    * scan the parquet twice; this flag-keyed aggregation scans once —
+    * the exchange is still ≤ 2b rows after map-side partial agg). */
+  def bucketCountsPair(
+      spark: SparkSession,
+      docs: DataFrame,
+      textCol: String,
+      isTarget: org.apache.spark.sql.Column,
+      b: Int = DefaultBuckets
+  ): (Array[Long], Array[Long]) = {
+    import spark.implicits._
+    val rows = docs
+      .select(isTarget.cast("boolean").as("t"), col(textCol).as("x"))
+      .as[(Boolean, String)]
+      .flatMap { case (t, txt) => docBuckets(txt, b).iterator.map(f => (t, f)) }
+      .toDF("t", "bucket")
+      .groupBy("t", "bucket").agg(count(lit(1)).as("c"))
+      .collect()
+    val tgt = new Array[Long](b)
+    val raw = new Array[Long](b)
+    rows.foreach { r =>
+      (if (r.getBoolean(0)) tgt else raw)(r.getInt(1)) = r.getLong(2)
+    }
+    (tgt, raw)
+  }
+
   /** Incremental model maintenance: bucket counts are a SUFFICIENT
     * STATISTIC (plain occurrence sums), so folding an increment is
     * element-wise Long addition over the b-length arrays — update ==

@@ -20,6 +20,17 @@ class CompressibilitySpec extends AnyFunSuite with SparkTestBase {
     assert(Compressibility.zlen("".getBytes("UTF-8")) === 8L) // empty frame
   }
 
+  test("a reused (reset) Deflater gives byte-identical lengths to fresh ones") {
+    val d = new java.util.zip.Deflater(6, false)
+    val buf = new Array[Byte](65536)
+    val inputs = Seq("hello world hello world hello world", "a" * 40, "",
+      "mixed content 123 !@# with unicode — ünïcode bits")
+      .map(_.getBytes("UTF-8"))
+    try inputs.foreach { b =>
+      assert(Compressibility.zlenWith(d, buf, b) === Compressibility.zlen(b))
+    } finally d.end()
+  }
+
   test("keep band: repetitive fails low, prose passes, tiny docs exempt") {
     // 400 bytes of a single letter compresses to ~15 bytes -> below floor
     val rep = ("z" * 400).getBytes("UTF-8")

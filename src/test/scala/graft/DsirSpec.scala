@@ -71,6 +71,14 @@ class DsirSpec extends AnyFunSuite with SparkTestBase {
     assert(scored(0)._3 > scored(1)._3)
   }
 
+  test("fused one-pass pair counts == two separate passes") {
+    val d = Seq((0L, "a b c a"), (1L, "c d"), (2L, "e f g"), (3L, "a a"))
+      .toDF("doc_id", "text")
+    val (tgt, raw) = Dsir.bucketCountsPair(spark, d, "text", col("doc_id") % 2 === 0)
+    assert(tgt === Dsir.bucketCounts(spark, d.where(col("doc_id") % 2 === 0), "text"))
+    assert(raw === Dsir.bucketCounts(spark, d.where(col("doc_id") % 2 =!= 0), "text"))
+  }
+
   test("incremental update == retrain (bucket counts are sufficient)") {
     val d = Seq((0L, "a b c a"), (1L, "c d e f"), (2L, "g h"), (3L, "a a a"))
       .toDF("doc_id", "text")
