@@ -61,6 +61,44 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
       s"agreement ${agree.toDouble / oracle.size}")
   }
 
+  test("streaming quality gates == batch gates, across batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // texts exercising each gate: repetitive (rep/z fail), braces (c4),
+    // plain prose sentences (all pass)
+    val docsLocal = (0L until 40L).map { i =>
+      val t =
+        if (i % 4 == 0) Seq.fill(30)("spam spam spam spam").mkString(" ")
+        else if (i % 4 == 1) s"var x = { $i } etc."
+        else s"Sentence number $i is fine.\nAnother good line here.\nAnd a third one too."
+      (i, t)
+    }
+    val (b1, b2) = docsLocal.partition(_._1 % 2 == 0)
+
+    val input = MemoryStream[(Long, String)]
+    val query = graft.streaming.StreamingSignals(
+      spark, input.toDS().toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("gates")
+      .outputMode("append").start()
+    try {
+      input.addData(b1)
+      query.processAllAvailable()
+      input.addData(b2)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val streamed = spark.table("gates").orderBy("doc_id").collect()
+    val batch = graft.streaming.StreamingSignals(
+      spark, docsLocal.toDF("doc_id", "text"), "text")
+      .orderBy("doc_id").collect()
+    assert(streamed === batch)
+    // every gate fires somewhere
+    assert(batch.exists(!_.getAs[Boolean]("rep_keep")))
+    assert(batch.exists(!_.getAs[Boolean]("c4_keep")))
+    assert(batch.exists(r => r.getAs[Boolean]("final_keep")))
+  }
+
   test("streaming dedup: once within the watermark horizon, re-emits beyond it") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
