@@ -697,6 +697,75 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RedPajama-V2 residual signal suite (Together 2023): unigram entropy
+    // (integer micro-nats), unique / all-caps / no-alph word counts,
+    // ellipsis / bullet line counts, blocked-word hits — all-integer
+    // signals, keep by cross-multiplication (the q78 pattern). The corpus
+    // is lowercase punctuation-free word bags, so every branch is
+    // exercised by deterministic built-in injections (replayed verbatim
+    // by tools/gen_rp_golden.py): %17 a 40x-repeated first token (low
+    // entropy), else %23 a numeric-only doc; %19 whole-doc upper, else
+    // %5 two appended upper tokens; %7 appended numeric tokens; %13
+    // blocked words; %11 a leading bullet token; the 4-token line wrap;
+    // %29 a bullet on every line; %31 an ellipsis on every line, else
+    // %41 on the last line only.
+    "q85_rpv2_signals" -> ((s, dir) => {
+      val raw = docs(s, dir).select("doc_id", "text")
+      val toks = split(col("text"), " ")
+      val t1 = when(col("doc_id") % 17 === 0,
+          array_join(array_repeat(element_at(toks, 1), 40), " "))
+        .when(col("doc_id") % 23 === 0,
+          lit("7 49 343 2401 7 49 343 2401 16807"))
+        .otherwise(col("text"))
+      val t2 = when(col("doc_id") % 19 === 0, upper(t1))
+        .when(col("doc_id") % 5 === 0,
+          concat(t1, lit(" "),
+            upper(concat_ws(" ", element_at(toks, 1), element_at(toks, 2)))))
+        .otherwise(t1)
+      val t3 = when(col("doc_id") % 7 === 0,
+        concat(t2, lit(" 404 5050"))).otherwise(t2)
+      val t4 = when(col("doc_id") % 13 === 0,
+        concat(t3, lit(" blockedalpha blockedbeta blockedalpha")))
+        .otherwise(t3)
+      val t5 = when(col("doc_id") % 11 === 0,
+        concat(lit("• "), t4)).otherwise(t4)
+      val arr = split(t5, " ")
+      val wrapped = array_join(
+        transform(sequence(lit(0), size(arr) - 1, lit(4)),
+          i => array_join(slice(arr, i + 1, lit(4)), " ")), "\n")
+      val lined = when(col("doc_id") % 29 === 0,
+          array_join(transform(split(wrapped, "\n", -1),
+            l => concat(lit("• "), l)), "\n"))
+        .otherwise(wrapped)
+      val lined2 = when(col("doc_id") % 31 === 0,
+          array_join(transform(split(lined, "\n", -1),
+            l => concat(l, lit(" ..."))), "\n"))
+        .when(col("doc_id") % 41 === 0, concat(lined, lit(" ...")))
+        .otherwise(lined)
+      val d = raw.select(col("doc_id"), lined2.as("text"))
+      graft.quality.RpSignals(s, d, "text",
+        Set("blockedalpha", "blockedbeta")).orderBy("doc_id")
+    }),
+
+    // Distributed full-batch logistic trainer — the scalable sibling of
+    // q67's driver-sample SGD: exact Long-micro-unit gradient sums per
+    // epoch (no float-order dependence), labeled set = originals vs
+    // digit-corrupted negatives (the q67 scheme), scored with the
+    // broadcast final model.
+    "q86_lr_distributed" -> ((s, dir) => {
+      import s.implicits._
+      val base = docs(s, dir).select("doc_id", "text").as[(Long, String)]
+      val labeled = base.map { case (id, t) => (id, t, 1) }
+        .union(base.map { case (id, t) =>
+          (id + 1000000L, graft.quality.Classifier.corrupt(id, t), 0)
+        })
+        .toDF("doc_id", "text", "label")
+      val model = graft.quality.Classifier.trainDistributed(s, labeled,
+        graft.quality.Classifier.Config(epochs = 3, lr = 5000.0))
+      graft.quality.Classifier.score(s, labeled, model,
+        extraCols = Seq("label")).orderBy("doc_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -1724,6 +1793,31 @@ object SparkEntry {
                   OVER (ORDER BY weight_micro DESC, doc_id) AS rk FROM s)
            SELECT doc_id, n_feats, weight_micro, rk <= 500 AS selected
            FROM r ORDER BY doc_id""",
+      // the RedPajama-V2 residual signals replayed by an independent
+      // all-Python chain (tools/gen_rp_golden.py: same injections, wrap,
+      // Counter-based entropy in micro-nats with Long floor division);
+      // keep is replayed in SQL by the same integer cross-multiplications
+      "q85_rpv2_signals" ->
+        s"""SELECT doc_id, n_words, n_unique, ent_micro, n_allcaps,
+                  n_noalph, n_lines, ellipsis_lines, bullet_lines,
+                  list_hits,
+                  (ent_micro >= 2000000
+                   AND n_unique * 100 >= 10 * greatest(1, n_words)
+                   AND n_allcaps * 100 <= 10 * greatest(1, n_words)
+                   AND n_noalph * 100 <= 20 * greatest(1, n_words)
+                   AND ellipsis_lines * 100 <= 30 * greatest(1, n_lines)
+                   AND bullet_lines * 100 <= 50 * greatest(1, n_lines)
+                   AND list_hits = 0) AS keep
+           FROM read_parquet('$golden/rpv2_sf001.parquet')
+           ORDER BY doc_id""",
+      // the distributed full-batch trainer replayed by an independent
+      // Python chain (tools/gen_lrdist_golden.py: same featurization,
+      // per-doc float32-truncated sigmoid, micro-unit quantization,
+      // exact integer gradient sums, fixed-order driver updates)
+      "q86_lr_distributed" ->
+        s"""SELECT doc_id, label, score, pred
+           FROM read_parquet('$golden/lrdist_sf001.parquet')
+           ORDER BY doc_id""",
       // the Gumbel keys replayed by the same independent Python chain
       // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
       // doc_id, strict-interior u, two lns quantized once to micro-nats);

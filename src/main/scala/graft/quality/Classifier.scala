@@ -122,6 +122,113 @@ object Classifier {
     Model(w, b, cfg.nBuckets, seed)
   }
 
+  /** DISTRIBUTED full-batch logistic training (q86) — the trainer whose
+    * training set itself scales: where [[train]] collects a bounded sample
+    * to the driver (the production quality-classifier shape), this one
+    * computes the exact full-corpus gradient per epoch as a Spark
+    * aggregation, so the labeled set can be arbitrarily large.
+    *
+    * Determinism contract (float sums are order-dependent; Long sums are
+    * not): per document the error `err = sigmoid(w·x + b) − y` is computed
+    * against the BROADCAST weights (f64 dot in ascending-bucket order,
+    * sigmoid truncated to float32 — the [[train]] ulp absorber — and
+    * CLAMPED to exact 0/1 beyond |z| > 30: saturated either way, and
+    * CPython's `math.exp` raises OverflowError past ~|710| where Java
+    * returns Infinity, so the clamp keeps the two sides mechanically
+    * identical), and each per-bucket gradient contribution is quantized
+    * ONCE to integer micro-units, `floor(err · x_b · 1e6 + 0.5)` (the
+    * same IEEE f64 expression on both sides). The corpus gradient is then
+    * the exact order-independent Long sum per bucket — the DSIR/BM25
+    * integer-sum technique.
+    *
+    * The driver update is DIAGONALLY PRECONDITIONED by integer document
+    * frequency: `w_b −= lr · (g_b / 1e6 / df_b)` in fixed ascending order
+    * (df computed once as an exact Long count per bucket). Plain uniform
+    * full-batch GD oscillates here — the template vocabulary's shared
+    * buckets carry a huge curvature eigenvalue while each negative's
+    * hashed-digit buckets are touched by one document, so no single lr
+    * both converges the common mode and moves the sparse directions;
+    * dividing by df is the standard per-coordinate normalization
+    * (AdaGrad's diagonal with counts instead of squared sums — exact in
+    * integers, so the oracle survives). The model is a pure function of
+    * (input, cfg); the q86 oracle re-derives the whole loop in Python
+    * (tools/gen_lrdist_golden.py).
+    *
+    * Overflow bound: |err| ≤ 1 and Σ_b x_b = 1 (L1-normalized), so one
+    * document contributes ≤ ~1e6 across ALL buckets; per-bucket Long sums
+    * stay exact to ~9.2e12 documents — past the 10^12-turn target.
+    *
+    * Shuffle shape: per epoch one narrow pass + a partial-aggregated
+    * exchange of ≤ nBuckets+1 rows per partition (the Dsir.bucketCounts
+    * pattern), then a (nBuckets+1)-row collect. No corpus shuffle, ever. */
+  def trainDistributed(
+      spark: SparkSession,
+      labeled: DataFrame,
+      cfg: Config = Config()): Model = {
+    import spark.implicits._
+    val seed = cfg.seed
+    val nB = cfg.nBuckets
+    val data = labeled.select(col("text"), col("label").cast("int"))
+      .as[(String, Int)]
+    val nDocs = data.count()
+    require(nDocs > 0, "empty training set")
+
+    // document frequency per bucket, once: exact Long counts (featurize
+    // emits each bucket once per doc), the preconditioner's denominator
+    val df = new Array[Long](nB + 1)
+    data
+      .flatMap { case (text, _) =>
+        featurize(if (text == null) "" else text, nB, seed)._1
+      }
+      .toDF("bucket")
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+      .collect()
+      .foreach(r => df(r.getInt(0)) = r.getLong(1))
+    df(nB) = nDocs // the bias slot sees every document
+
+    val w = new Array[Double](nB)
+    var b = 0.0
+    var e = 0
+    while (e < cfg.epochs) {
+      val wB = spark.sparkContext.broadcast((w.clone(), b))
+      val grads = data
+        .flatMap { case (text, y) =>
+          val (ks, vs) = featurize(if (text == null) "" else text, nB, seed)
+          val (ww, bb) = wB.value
+          var z = bb
+          var i = 0
+          while (i < ks.length) { z += ww(ks(i)) * vs(i); i += 1 }
+          val p =
+            if (z < -30.0) 0f
+            else if (z > 30.0) 1f
+            else (1.0 / (1.0 + math.exp(-z))).toFloat
+          val err = p.toDouble - y
+          val out = new Array[(Int, Long)](ks.length + 1)
+          i = 0
+          while (i < ks.length) {
+            out(i) = (ks(i), math.floor(err * vs(i) * 1e6 + 0.5).toLong)
+            i += 1
+          }
+          out(ks.length) = (nB, math.floor(err * 1e6 + 0.5).toLong) // bias slot
+          out
+        }
+        .toDF("bucket", "g")
+        .groupBy("bucket").agg(sum(col("g")).as("g"))
+        .collect()
+      wB.destroy()
+      val g = new Array[Long](nB + 1)
+      grads.foreach(r => g(r.getInt(0)) = r.getLong(1))
+      var k = 0
+      while (k < nB) {
+        if (df(k) > 0) w(k) -= cfg.lr * (g(k).toDouble / 1e6 / df(k).toDouble)
+        k += 1
+      }
+      b -= cfg.lr * (g(nB).toDouble / 1e6 / df(nB).toDouble)
+      e += 1
+    }
+    Model(w, b, nB, seed)
+  }
+
   /** Distributed scoring: broadcast model, one narrow pass, no shuffle.
     * (idCol, textCol) -> (idCol, extraCols..., score round6, pred) —
     * `extraCols` ride through the projection (the Bpe.encode pass-through

@@ -80,6 +80,70 @@ class ClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in scoring plan:\n$plan")
   }
 
+  test("distributed full-batch trainer separates the classes (accuracy >= 0.95)") {
+    val labeled = labeledCorpus(200).cache()
+    val model = Classifier.trainDistributed(spark, labeled,
+      Classifier.Config(epochs = 3, lr = 5000.0))
+    val scored = Classifier.score(spark, labeled, model, extraCols = Seq("label"))
+    val r = scored.agg(
+      sum(when(col("pred") === (col("label") === 1), 1).otherwise(0)),
+      count(lit(1))).head()
+    assert(r.getLong(1) === 400)
+    assert(r.getLong(0).toDouble / r.getLong(1) >= 0.95,
+      s"accuracy ${r.getLong(0).toDouble / r.getLong(1)}")
+    labeled.unpersist()
+  }
+
+  test("distributed gradients are partition-order independent: bit-equal weights at 3 vs 17 partitions") {
+    val labeled = labeledCorpus(60)
+    val cfg = Classifier.Config(epochs = 2, lr = 5000.0)
+    val m1 = Classifier.trainDistributed(spark, labeled.repartition(3), cfg)
+    val m2 = Classifier.trainDistributed(spark, labeled.repartition(17), cfg)
+    assert(m1.bias === m2.bias)
+    assert(m1.weights.toSeq === m2.weights.toSeq)
+  }
+
+  test("distributed trainer == sequential driver replay, bit-equal (the oracle's contract)") {
+    val labeled = labeledCorpus(40)
+    val cfg = Classifier.Config(epochs = 2, lr = 5000.0)
+    val dist = Classifier.trainDistributed(spark, labeled, cfg)
+
+    // independent single-threaded replay of the published contract
+    val rows = labeled.select("text", "label").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    val nB = cfg.nBuckets
+    val feats = rows.map { case (t, y) => (Classifier.featurize(t, nB, cfg.seed), y) }
+    val df = new Array[Long](nB + 1)
+    feats.foreach { case ((ks, _), _) => ks.foreach(k => df(k) += 1) }
+    df(nB) = rows.length.toLong
+    val w = new Array[Double](nB)
+    var bias = 0.0
+    (1 to cfg.epochs).foreach { _ =>
+      val g = new Array[Long](nB + 1)
+      feats.foreach { case ((ks, vs), y) =>
+        var z = bias
+        var i = 0
+        while (i < ks.length) { z += w(ks(i)) * vs(i); i += 1 }
+        val p = if (z < -30.0) 0f else if (z > 30.0) 1f
+          else (1.0 / (1.0 + math.exp(-z))).toFloat
+        val err = p.toDouble - y
+        i = 0
+        while (i < ks.length) {
+          g(ks(i)) += math.floor(err * vs(i) * 1e6 + 0.5).toLong; i += 1
+        }
+        g(nB) += math.floor(err * 1e6 + 0.5).toLong
+      }
+      var k = 0
+      while (k < nB) {
+        if (df(k) > 0) w(k) -= cfg.lr * (g(k).toDouble / 1e6 / df(k).toDouble)
+        k += 1
+      }
+      bias -= cfg.lr * (g(nB).toDouble / 1e6 / df(nB).toDouble)
+    }
+    assert(dist.bias === bias)
+    assert(dist.weights.toSeq === w.toSeq)
+  }
+
   test("null and sub-trigram texts score at sigmoid(bias), no NPE") {
     val labeled = labeledCorpus(20)
     val model = Classifier.train(spark, labeled)
