@@ -56,6 +56,14 @@ object SparkEntry {
     }.as[graft.model.Turn]
   }
 
+  /** The transcript table with ts projected to epoch millis — the integer
+    * form the conversation-structure operators (q87-q89) and their DuckDB
+    * oracles (epoch_ms) agree on exactly. */
+  private def turnsMs(s: SparkSession, dir: String): DataFrame =
+    synthTurns(s, dir).toDF().select(
+      col("conv_id"), col("turn_idx"), col("role"), col("text"),
+      col("tool"), unix_millis(col("ts")).as("ts_ms"))
+
   /** Session-scoped scratch root (persisted IVF index, q31 output tree):
     * one directory per application under `spark.graft.scratchDir` (default
     * the JVM temp dir), addressed and DELETED through the Hadoop FS API —
@@ -764,6 +772,38 @@ object SparkEntry {
         graft.quality.Classifier.Config(epochs = 3, lr = 5000.0))
       graft.quality.Classifier.score(s, labeled, model,
         extraCols = Seq("label")).orderBy("doc_id")
+    }),
+
+    // Conversation-structure audit over the transcript table: per-conv
+    // exact integer violation counts (idx gaps/dups, ts regressions, role
+    // repeats, orphan tools, tool mismatches, empty turns) + ok verdict.
+    // The generator's transcripts are structurally clean, so every branch
+    // is exercised by ConvOps.injectViolations' deterministic corruptions;
+    // the oracle replays injections AND audit in DuckDB's own window
+    // engine over the committed raw dump — an independent implementation,
+    // not a pinned output.
+    "q87_conv_audit" -> ((s, dir) => {
+      graft.transcript.ConvOps
+        .audit(s, graft.transcript.ConvOps.injectViolations(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
+    // Deterministic structural repair of the same corrupted table:
+    // duplicate collapse, tool-name consistency, empty-turn drop,
+    // contiguous reindex, running-max ts. Oracle recomputes it in SQL.
+    "q88_conv_repair" -> ((s, dir) => {
+      graft.transcript.ConvOps
+        .repair(s, graft.transcript.ConvOps.injectViolations(turnsMs(s, dir)))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Bounded context assembly (the SFT-example shape): for each assistant
+    // turn, the previous 6 turns rendered "role: text" — ROWS-bounded
+    // frame, so mega-conversation cost is linear. Oracle recomputes via
+    // string_agg over the same frame.
+    "q89_context_assembly" -> ((s, dir) => {
+      graft.transcript.ConvOps.assemble(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
     }),
 
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
@@ -1818,6 +1858,133 @@ object SparkEntry {
         s"""SELECT doc_id, label, score, pred
            FROM read_parquet('$golden/lrdist_sf001.parquet')
            ORDER BY doc_id""",
+      // q87-q89 are INPUT-pinned, not output-pinned: the raw sf0.01
+      // transcript dump (turns_raw_sf001.parquet, sequential generator)
+      // is the only golden; DuckDB re-runs the deterministic violation
+      // injections and the audit/repair/assembly with ITS OWN window
+      // engine, so the distributed operators are checked against an
+      // independent implementation end-to-end.
+      "q87_conv_audit" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, text, tool,
+                    epoch_ms(ts) AS ts_ms,
+                    CAST(substring(conv_id, 6) AS BIGINT) AS cv
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           mut AS (
+             SELECT conv_id, turn_idx,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'tool'
+                    WHEN cv % 13 = 3 AND turn_idx % 4 = 1 THEN 'user'
+                    ELSE role END AS role,
+               CASE WHEN cv % 19 = 5 AND turn_idx % 6 = 0 THEN ''
+                    ELSE text END AS text,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'calculator'
+                    WHEN cv % 17 = 4 AND turn_idx % 6 = 1 THEN
+                      CASE WHEN role = 'tool' THEN '' ELSE 'websearch' END
+                    ELSE tool END AS tool,
+               CASE WHEN cv % 7 = 1 AND turn_idx % 3 = 2 THEN ts_ms - 600000
+                    ELSE ts_ms END AS ts_ms,
+               cv
+             FROM raw),
+           inj AS (
+             SELECT * FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+             UNION ALL
+             SELECT * FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+               AND cv % 23 = 6 AND turn_idx % 9 = 3),
+           lg AS (
+             SELECT conv_id, turn_idx, role, text, tool, ts_ms,
+               lag(turn_idx) OVER win AS prev_idx,
+               lag(ts_ms) OVER win AS prev_ts,
+               lag(role) OVER win AS prev_role
+             FROM inj
+             WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)),
+           agg AS (
+             SELECT conv_id,
+               count(*) AS n_turns,
+               cast(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+               cast(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+               cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+               cast(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               cast(sum(CASE WHEN (prev_idx IS NULL AND turn_idx <> 0)
+                              OR (prev_idx IS NOT NULL AND turn_idx - prev_idx > 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS idx_gaps,
+               cast(sum(CASE WHEN prev_idx IS NOT NULL AND turn_idx = prev_idx
+                         THEN 1 ELSE 0 END) AS BIGINT) AS idx_dup,
+               cast(sum(CASE WHEN prev_ts IS NOT NULL AND ts_ms < prev_ts
+                         THEN 1 ELSE 0 END) AS BIGINT) AS ts_regress,
+               cast(sum(CASE WHEN prev_role IS NOT NULL AND prev_role = role
+                              AND role IN ('user', 'assistant')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS role_repeat,
+               cast(sum(CASE WHEN role = 'tool'
+                              AND (prev_role IS NULL OR prev_role = 'tool')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS orphan_tool,
+               cast(sum(CASE WHEN (role = 'tool') <> (tool <> '')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS tool_mismatch
+             FROM lg GROUP BY conv_id)
+           SELECT *, (n_empty = 0 AND idx_gaps = 0 AND idx_dup = 0
+                      AND ts_regress = 0 AND role_repeat = 0
+                      AND orphan_tool = 0 AND tool_mismatch = 0) AS ok
+           FROM agg ORDER BY conv_id""",
+      "q88_conv_repair" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, text, tool,
+                    epoch_ms(ts) AS ts_ms,
+                    CAST(substring(conv_id, 6) AS BIGINT) AS cv
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           mut AS (
+             SELECT conv_id, turn_idx,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'tool'
+                    WHEN cv % 13 = 3 AND turn_idx % 4 = 1 THEN 'user'
+                    ELSE role END AS role,
+               CASE WHEN cv % 19 = 5 AND turn_idx % 6 = 0 THEN ''
+                    ELSE text END AS text,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'calculator'
+                    WHEN cv % 17 = 4 AND turn_idx % 6 = 1 THEN
+                      CASE WHEN role = 'tool' THEN '' ELSE 'websearch' END
+                    ELSE tool END AS tool,
+               CASE WHEN cv % 7 = 1 AND turn_idx % 3 = 2 THEN ts_ms - 600000
+                    ELSE ts_ms END AS ts_ms,
+               cv
+             FROM raw),
+           inj AS (
+             SELECT conv_id, turn_idx, role, text, tool, ts_ms
+             FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+             UNION ALL
+             SELECT conv_id, turn_idx, role, text, tool, ts_ms
+             FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+               AND cv % 23 = 6 AND turn_idx % 9 = 3),
+           ded AS (SELECT DISTINCT * FROM inj),
+           fx AS (
+             SELECT conv_id, turn_idx AS original_idx, role, text,
+               CASE WHEN role <> 'tool' THEN ''
+                    WHEN tool = '' THEN 'unknown' ELSE tool END AS tool,
+               ts_ms AS in_ts
+             FROM ded
+             WHERE text IS NOT NULL AND text <> '')
+           SELECT conv_id,
+             CAST(row_number() OVER (PARTITION BY conv_id
+               ORDER BY original_idx, in_ts) - 1 AS INTEGER) AS turn_idx,
+             original_idx,
+             role, text, tool,
+             max(in_ts) OVER (PARTITION BY conv_id
+               ORDER BY original_idx, in_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ts_ms
+           FROM fx ORDER BY conv_id, turn_idx""",
+      "q89_context_assembly" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, text, epoch_ms(ts) AS ts_ms
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           ctx AS (
+             SELECT conv_id, turn_idx, role,
+               count(*) OVER frame AS n_ctx,
+               coalesce(string_agg(role || ': ' || text, chr(10)) OVER frame,
+                        '') AS context
+             FROM raw
+             WINDOW frame AS (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+           SELECT conv_id, turn_idx, n_ctx, context
+           FROM ctx WHERE role = 'assistant'
+           ORDER BY conv_id, turn_idx""",
       // the Gumbel keys replayed by the same independent Python chain
       // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
       // doc_id, strict-interior u, two lns quantized once to micro-nats);
