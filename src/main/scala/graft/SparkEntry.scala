@@ -806,6 +806,38 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Cross-conversation exact turn dedup (LineDedup's two-pass hash
+    // prefilter at turn granularity): one verdict row per turn,
+    // first-occurrence keep in (conv_id, turn_idx) order; unique texts
+    // never shuffle as strings. Oracle recomputes the keep decision with
+    // DuckDB windows over the raw dump.
+    "q90_turn_dedup" -> ((s, dir) => {
+      graft.transcript.TurnDedup.dedup(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Conversation-consistent PII pseudonymization: per-(conv, kind,
+    // entity) stable indexed aliases in first-appearance order, extraction
+    // chain-masked exactly like the Scrubber (an email inside a URL never
+    // becomes an EMAIL entity). Oracle recomputes the whole chain with
+    // DuckDB's own regex engine — the patterns are the common Java/RE2
+    // subset.
+    "q91_conv_pseudonyms" -> ((s, dir) => {
+      graft.transcript.Pseudonymize.entities(s, turnsMs(s, dir))
+        .orderBy("conv_id", "kind", "alias_idx")
+    }),
+
+    // Conversation-level quality gate over the corrupted table: exact
+    // integer trace signals (adjacent-gap stats, tool share, role streaks,
+    // sorted tool roster) and an all-integer keep verdict; every window
+    // and aggregation clusters on conv_id or a superset, so the whole
+    // rollup costs ONE hash exchange.
+    "q92_conv_gate" -> ((s, dir) => {
+      graft.transcript.ConvGate.signals(s,
+        graft.transcript.ConvOps.injectViolations(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -1411,6 +1443,51 @@ object SparkEntry {
 
   // -- oracle SQL (DuckDB dialect; same parquet tables) --------------------
 
+  /** q91's oracle, GENERATED from [[graft.transcript.Pseudonymize.kinds]] so
+    * the chain order, patterns, and masks can never drift between the Spark
+    * plan and the DuckDB replay. DuckDB re-runs extraction with its own
+    * regex engine (RE2) — the patterns are the common Java/RE2 subset — and
+    * re-derives the aliases with its own window engine. */
+  private def pseudoOracle(golden: String): String = {
+    val kinds = graft.transcript.Pseudonymize.kinds
+    def esc(p: String) = p.replace("'", "''")
+    val chain = kinds.zipWithIndex.map { case ((name, pat, repl), i) =>
+      val carried =
+        kinds.take(i).map { case (n, _, _) => s"m_$n, " }.mkString
+      s"""s${i + 1} AS (SELECT conv_id, turn_idx, $carried
+         regexp_extract_all(t, '${esc(pat)}') AS m_$name,
+         regexp_replace(t, '${esc(pat)}', '$repl', 'g') AS t
+         FROM s$i)"""
+    }.mkString(",\n")
+    val last = s"s${kinds.size}"
+    val unions = kinds.map { case (name, _, _) =>
+      s"""SELECT conv_id, turn_idx, '$name' AS kind,
+          unnest(m_$name) AS entity,
+          unnest(range(0, len(m_$name))) AS pos
+          FROM $last WHERE len(m_$name) > 0"""
+    }.mkString(" UNION ALL ")
+    s"""WITH s0 AS (
+         SELECT conv_id, turn_idx, text AS t
+         FROM read_parquet('$golden/turns_raw_sf001.parquet')
+         WHERE text IS NOT NULL),
+       $chain,
+       u AS ($unions),
+       ent AS (
+         SELECT conv_id, kind, entity,
+           cast(count(*) AS BIGINT) AS n_mentions,
+           min(cast(turn_idx AS BIGINT) * 1000000 + pos) AS fkey
+         FROM u GROUP BY 1, 2, 3)
+       SELECT conv_id, kind, entity,
+         cast(row_number() OVER win AS INTEGER) AS alias_idx,
+         '[' || upper(kind) || '_' ||
+           cast(row_number() OVER win AS VARCHAR) || ']' AS alias,
+         n_mentions,
+         cast(fkey // 1000000 AS INTEGER) AS first_turn_idx
+       FROM ent
+       WINDOW win AS (PARTITION BY conv_id, kind ORDER BY fkey, entity)
+       ORDER BY conv_id, kind, alias_idx"""
+  }
+
   def oracleSql: Map[String, String] = {
     // committed golden fixtures the oracle replays (generated by the
     // tools/ generators and the Golden* test mains; see COVERAGE.md)
@@ -1985,6 +2062,98 @@ object SparkEntry {
            SELECT conv_id, turn_idx, n_ctx, context
            FROM ctx WHERE role = 'assistant'
            ORDER BY conv_id, turn_idx""",
+      // q90-q92 follow the q87 posture: input-pinned, recomputed end-to-end
+      // by DuckDB's own window/regex engines over the raw dump
+      "q90_turn_dedup" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, text
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           cand AS (SELECT * FROM raw WHERE length(text) >= 15),
+           w AS (
+             SELECT conv_id, turn_idx,
+               count(*) OVER (PARTITION BY text) AS n_occ,
+               first_value(conv_id) OVER win AS keeper_conv,
+               first_value(turn_idx) OVER win AS keeper_idx
+             FROM cand
+             WINDOW win AS (PARTITION BY text ORDER BY conv_id, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+           d AS (SELECT * FROM w WHERE n_occ > 1)
+           SELECT r.conv_id, r.turn_idx,
+             cast(coalesce(d.n_occ, 1) AS BIGINT) AS n_occ,
+             coalesce(d.keeper_conv, r.conv_id) AS keeper_conv,
+             coalesce(d.keeper_idx, r.turn_idx) AS keeper_idx,
+             (coalesce(d.keeper_conv, r.conv_id) = r.conv_id
+              AND coalesce(d.keeper_idx, r.turn_idx) = r.turn_idx) AS keep
+           FROM raw r
+           LEFT JOIN d ON r.conv_id = d.conv_id AND r.turn_idx = d.turn_idx
+           ORDER BY r.conv_id, r.turn_idx""",
+      "q91_conv_pseudonyms" -> pseudoOracle(golden),
+      "q92_conv_gate" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, text, tool,
+                    epoch_ms(ts) AS ts_ms,
+                    CAST(substring(conv_id, 6) AS BIGINT) AS cv
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           mut AS (
+             SELECT conv_id, turn_idx,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'tool'
+                    WHEN cv % 13 = 3 AND turn_idx % 4 = 1 THEN 'user'
+                    ELSE role END AS role,
+               CASE WHEN cv % 19 = 5 AND turn_idx % 6 = 0 THEN ''
+                    ELSE text END AS text,
+               CASE WHEN cv % 29 = 7 AND turn_idx = 0 THEN 'calculator'
+                    WHEN cv % 17 = 4 AND turn_idx % 6 = 1 THEN
+                      CASE WHEN role = 'tool' THEN '' ELSE 'websearch' END
+                    ELSE tool END AS tool,
+               CASE WHEN cv % 7 = 1 AND turn_idx % 3 = 2 THEN ts_ms - 600000
+                    ELSE ts_ms END AS ts_ms,
+               cv
+             FROM raw),
+           inj AS (
+             SELECT * FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+             UNION ALL
+             SELECT * FROM mut WHERE NOT (cv % 11 = 2 AND turn_idx % 5 = 2)
+               AND cv % 23 = 6 AND turn_idx % 9 = 3),
+           lg AS (
+             SELECT conv_id, turn_idx, role, tool, ts_ms,
+               ts_ms - lag(ts_ms) OVER win AS gap,
+               CASE WHEN lag(role) OVER win IS NULL
+                         OR lag(role) OVER win <> role
+                    THEN 1 ELSE 0 END AS chg
+             FROM inj
+             WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)),
+           st AS (
+             SELECT *, sum(chg) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS streak_id
+             FROM lg),
+           sl AS (
+             SELECT *, count(*) OVER (PARTITION BY conv_id, streak_id) AS slen
+             FROM st),
+           agg AS (
+             SELECT conv_id,
+               count(*) AS n_turns,
+               cast(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_tool_calls,
+               list_sort(list_distinct(list(tool) FILTER (WHERE role = 'tool')))
+                 AS tl,
+               cast(sum(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_gaps,
+               cast(coalesce(min(gap), 0) AS BIGINT) AS gap_min,
+               cast(coalesce(max(gap), 0) AS BIGINT) AS gap_max,
+               cast(coalesce(sum(gap), 0) AS BIGINT) AS gap_sum,
+               cast(max(slen) AS BIGINT) AS max_role_streak
+             FROM sl GROUP BY conv_id)
+           SELECT conv_id, n_turns, n_tool_calls,
+             cast(coalesce(len(tl), 0) AS BIGINT) AS n_distinct_tools,
+             coalesce(array_to_string(tl, ','), '') AS tools,
+             n_gaps, gap_min, gap_max, gap_sum, max_role_streak,
+             (gap_min >= 0) AS time_ok,
+             (n_tool_calls * 4 <= n_turns) AS tool_ok,
+             (max_role_streak <= 2) AS streak_ok,
+             (gap_min >= 0 AND n_tool_calls * 4 <= n_turns
+              AND max_role_streak <= 2) AS keep
+           FROM agg ORDER BY conv_id""",
       // the Gumbel keys replayed by the same independent Python chain
       // (tools/gen_dsir_golden.py --gumbel: xxh64 of the little-endian
       // doc_id, strict-interior u, two lns quantized once to micro-nats);
