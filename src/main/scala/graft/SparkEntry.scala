@@ -838,6 +838,15 @@ object SparkEntry {
         .orderBy("conv_id")
     }),
 
+    // Byte-exact pseudonymized rewrite — q91's aliases applied to the
+    // text in chain order, toxicity flat-masked last; per-conv alias maps
+    // ride the rows (no driver collect). Oracle: independent Python
+    // replay of the whole chain (tools/gen_pseudo_golden.py).
+    "q93_pseudo_rewrite" -> ((s, dir) => {
+      graft.transcript.Pseudonymize.rewrite(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -2088,6 +2097,12 @@ object SparkEntry {
            LEFT JOIN d ON r.conv_id = d.conv_id AND r.turn_idx = d.turn_idx
            ORDER BY r.conv_id, r.turn_idx""",
       "q91_conv_pseudonyms" -> pseudoOracle(golden),
+      // q93: committed golden from the independent Python chain replay
+      // (tools/gen_pseudo_golden.py over the same raw dump)
+      "q93_pseudo_rewrite" ->
+        s"""SELECT conv_id, turn_idx, scrubbed, n_aliased
+           FROM read_parquet('$golden/pseudo_sf001.parquet')
+           ORDER BY conv_id, turn_idx""",
       "q92_conv_gate" ->
         s"""WITH raw AS (
              SELECT conv_id, turn_idx, role, text, tool,

@@ -117,6 +117,35 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(k("a@a.org") === 2)
   }
 
+  test("rewrite: stable aliases land in the text, toxicity flat-masked") {
+    val rows = Seq(
+      ("r1", 0, "user", "mail a.smith@dept.edu and bob@corp.org", "", 1000L),
+      ("r1", 1, "assistant",
+        "that gorram a.smith@dept.edu bounced, see " +
+          "https://x.example.com/u?e=a@b.com", "", 2000L),
+      ("r2", 0, "user", "mail bob@corp.org", "", 1000L))
+    val out = Pseudonymize.rewrite(spark, turnsDF(rows))
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(out(0).getAs[String]("scrubbed") ===
+      "mail [EMAIL_1] and [EMAIL_2]")
+    assert(out(0).getAs[Int]("n_aliased") === 2)
+    assert(out(1).getAs[String]("scrubbed") ===
+      "that [REDACTED] [EMAIL_1] bounced, see [URL_1]")
+    assert(out(1).getAs[Int]("n_aliased") === 2) // toxicity not counted
+    assert(out(2).getAs[String]("scrubbed") === "mail [EMAIL_1]") // per-conv
+  }
+
+  test("rewrite: substitution total equals q91 mention total at scale") {
+    val t = synthTurnsMs(200)
+    val subs = Pseudonymize.rewrite(spark, t)
+      .agg(org.apache.spark.sql.functions.sum("n_aliased")).collect()
+      .head.getLong(0)
+    val mentions = Pseudonymize.entities(spark, t)
+      .agg(org.apache.spark.sql.functions.sum("n_mentions")).collect()
+      .head.getLong(0)
+    assert(subs === mentions && subs > 0L)
+  }
+
   // ---- ConvGate ---------------------------------------------------------
 
   test("gate: streaks, gaps, tool share, verdict columns") {
