@@ -847,6 +847,16 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Transcript capstone: scrub-first SFT manifest — aliased rewrite →
+    // turn dedup on the scrubbed text → conversation gate over the
+    // surviving trace → bounded context assembly for kept conversations.
+    // Oracle composes the committed q93 golden with SQL recomputations of
+    // stages 2-4 (the q83 pattern: no new golden for a composition).
+    "q94_sft_manifest" -> ((s, dir) => {
+      graft.transcript.SftPipeline.manifest(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -2102,6 +2112,72 @@ object SparkEntry {
       "q93_pseudo_rewrite" ->
         s"""SELECT conv_id, turn_idx, scrubbed, n_aliased
            FROM read_parquet('$golden/pseudo_sf001.parquet')
+           ORDER BY conv_id, turn_idx""",
+      // q94: stage 1 replays the q93 golden; dedup/gate/assembly are
+      // recomputed by DuckDB's own window engine over it
+      "q94_sft_manifest" ->
+        s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, tool, epoch_ms(ts) AS ts_ms
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           scr AS (
+             SELECT g.conv_id, g.turn_idx, g.scrubbed, r.role, r.tool,
+                    r.ts_ms
+             FROM read_parquet('$golden/pseudo_sf001.parquet') g
+             JOIN raw r
+               ON g.conv_id = r.conv_id AND g.turn_idx = r.turn_idx),
+           w AS (
+             SELECT conv_id, turn_idx,
+               count(*) OVER (PARTITION BY scrubbed) AS n_occ,
+               first_value(conv_id) OVER win AS kc,
+               first_value(turn_idx) OVER win AS ki
+             FROM scr WHERE length(scrubbed) >= 15
+             WINDOW win AS (PARTITION BY scrubbed
+               ORDER BY conv_id, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+           drop_set AS (
+             SELECT conv_id, turn_idx FROM w
+             WHERE n_occ > 1 AND NOT (kc = conv_id AND ki = turn_idx)),
+           surv AS (
+             SELECT s.* FROM scr s
+             LEFT JOIN drop_set d
+               ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+             WHERE d.conv_id IS NULL),
+           lg AS (
+             SELECT conv_id, turn_idx, role, scrubbed, ts_ms,
+               ts_ms - lag(ts_ms) OVER win AS gap,
+               CASE WHEN lag(role) OVER win IS NULL
+                         OR lag(role) OVER win <> role
+                    THEN 1 ELSE 0 END AS chg
+             FROM surv
+             WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)),
+           st AS (
+             SELECT *, sum(chg) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM lg),
+           sl AS (
+             SELECT *, count(*) OVER (PARTITION BY conv_id, sid) AS slen
+             FROM st),
+           keptc AS (
+             SELECT conv_id FROM sl GROUP BY conv_id
+             HAVING coalesce(min(gap), 0) >= 0
+                AND sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) * 4
+                      <= count(*)
+                AND max(slen) <= 2),
+           fs AS (
+             SELECT s.conv_id, s.turn_idx, s.role, s.scrubbed, s.ts_ms
+             FROM surv s JOIN keptc k ON s.conv_id = k.conv_id),
+           ctx AS (
+             SELECT conv_id, turn_idx, role,
+               count(*) OVER frame AS n_ctx,
+               coalesce(string_agg(role || ': ' || scrubbed, chr(10))
+                 OVER frame, '') AS context
+             FROM fs
+             WINDOW frame AS (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+           SELECT conv_id, turn_idx, n_ctx, context
+           FROM ctx WHERE role = 'assistant'
            ORDER BY conv_id, turn_idx""",
       "q92_conv_gate" ->
         s"""WITH raw AS (

@@ -307,6 +307,35 @@ object Stress {
       (row.getLong(0), row.getLong(1))
     }
 
+    // transcript family at scale: ~18M generated turns (1M convs + the
+    // 5000-turn mega-conv) through turn dedup and the conversation gate,
+    // ~3.7M turns through the regex-chain pseudonymized rewrite. Integer
+    // witnesses: duplicate-row count + occurrence mass, kept-conversation
+    // count + exact gap-sum, substitution count + scrubbed char mass.
+    val bigTurns = graft.gen.TranscriptGen
+      .dataset(spark, 1000000L, megaTurns = 5000).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), unix_millis(col("ts")).as("ts_ms"))
+    val ((tdDups, tdOccSum), tdSec) = timed {
+      val row = graft.transcript.TurnDedup.dedup(spark, bigTurns)
+        .agg(sum(when(col("keep"), 0L).otherwise(1L)), sum(col("n_occ")))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val ((cgKept, cgGapSum), cgSec) = timed {
+      val row = graft.transcript.ConvGate.signals(spark, bigTurns)
+        .agg(sum(when(col("keep"), 1L).otherwise(0L)), sum(col("gap_sum")))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val smallTurns = bigTurns.where(
+      abs(xxhash64(col("conv_id"))) % 5 === 0)
+    val ((prSubs, prChars), prSec) = timed {
+      val row = graft.transcript.Pseudonymize.rewrite(spark, smallTurns)
+        .agg(sum(col("n_aliased")), sum(length(col("scrubbed")))).head()
+      (row.getLong(0), row.getLong(1))
+    }
+
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
       import spark.implicits._
@@ -342,6 +371,9 @@ object Stress {
         f""""repetition":{"sec":$repSec%.1f,"dropped":$repDropped,"dup5_chars":$repDup5Sum},""" +
         f""""compressibility":{"sec":$zSec%.1f,"dropped":$zDropped,"z_bytes":$zBytesSum},""" +
         f""""bm25":{"sec":$bmSec%.1f,"rows":$bmRows,"score_sum":$bmScoreSum},""" +
+        f""""turn_dedup":{"sec":$tdSec%.1f,"dups":$tdDups,"occ_sum":$tdOccSum},""" +
+        f""""conv_gate":{"sec":$cgSec%.1f,"kept":$cgKept,"gap_sum":$cgGapSum},""" +
+        f""""pseudo_rewrite":{"sec":$prSec%.1f,"subs":$prSubs,"chars":$prChars},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")

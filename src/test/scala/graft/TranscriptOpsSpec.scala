@@ -194,6 +194,50 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.getLong(3) > 0L, "no conversation kept")
   }
 
+  // ---- SftPipeline capstone ----------------------------------------------
+
+  test("capstone: scrub-first manifest — PII aliased, dups gone, gate applied") {
+    val rows = Seq(
+      // kept conversation: alternating roles, clean time, one email
+      ("k1", 0, "user", "mail a.smith@dept.edu about the merge", "", 1000L),
+      ("k1", 1, "assistant", "sent the note to a.smith@dept.edu", "", 2000L),
+      ("k1", 2, "user", "the quarterly report is fine to share", "", 3000L),
+      ("k1", 3, "assistant", "agreed, sharing the quarterly report", "", 4000L),
+      // duplicated turn across convs: keeper is k1 (earlier conv id)
+      ("z9", 0, "user", "the quarterly report is fine to share", "", 500L),
+      ("z9", 1, "assistant", "understood and acknowledged fully", "", 1500L),
+      // dropped conversation: user monologue (streak 3)
+      ("m1", 0, "user", "first message of the monologue", "", 1000L),
+      ("m1", 1, "user", "second message of the monologue", "", 2000L),
+      ("m1", 2, "user", "third message of the monologue", "", 3000L),
+      ("m1", 3, "assistant", "a reply that never makes it out", "", 4000L))
+    val out = graft.transcript.SftPipeline.manifest(spark, turnsDF(rows))
+      .orderBy("conv_id", "turn_idx").collect()
+    // m1 gated out entirely; k1 keeps both assistant turns; z9 keeps its one
+    assert(out.map(r => (r.getString(0), r.getInt(1))).toSeq ===
+      Seq(("k1", 1), ("k1", 3), ("z9", 1)))
+    val k1a = out(0)
+    assert(k1a.getAs[String]("context") === "user: mail [EMAIL_1] about the merge")
+    // k1's turn-2 text is a cross-conv duplicate with keeper k1 ("k1" < "z9"),
+    // so it SURVIVES in k1 and the turn-3 context still shows it
+    assert(out(1).getAs[String]("context").contains(
+      "user: the quarterly report is fine to share"))
+    assert(out(1).getAs[String]("context").contains("assistant: sent the note"))
+    // z9 lost its duplicated turn 0, so its assistant turn has no context
+    assert(out(2).getAs[Long]("n_ctx") === 0L)
+    assert(out(2).getAs[String]("context") === "")
+  }
+
+  test("capstone at generator scale: no raw PII survives into any context") {
+    val out = graft.transcript.SftPipeline.manifest(spark, synthTurnsMs(200))
+    assert(out.count() > 0L)
+    val leaky = out.where(
+      org.apache.spark.sql.functions.col("context").rlike(
+        """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|\d{3}-\d{2}-\d{4}"""))
+      .count()
+    assert(leaky === 0L, "raw emails/SSNs must never reach a training example")
+  }
+
   // ---- shared: partition invariance + plan shapes -----------------------
 
   test("partition invariance: 1 vs 13 partitions, identical results") {
