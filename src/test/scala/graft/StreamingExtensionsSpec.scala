@@ -329,4 +329,52 @@ class StreamingExtensionsSpec extends AnyFunSuite with SparkTestBase {
     assert(out(0)._2 === Seq("null_text"))
     assert(out(0)._3 === null)
   }
+
+  test("streaming conversation gate == batch q92 signals, across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingConvGate
+    import graft.streaming.StreamingConvGate.TurnIn
+
+    // injected generator turns (every violation flavor — ts regressions,
+    // duplicate rows, forced roles), fed in event-time order in thirds
+    val injected = graft.transcript.ConvOps.injectViolations(
+      TranscriptGen.dataset(spark, 60L, megaTurns = 40).toDF()
+        .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+          col("tool"), unix_millis(col("ts")).as("ts_ms")))
+    val rows = injected.select("conv_id", "turn_idx", "role", "tool", "ts_ms")
+      .collect()
+      .map(r => TurnIn(r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), new Timestamp(r.getLong(4))))
+      .sortBy(_.ts.getTime)
+
+    val input = MemoryStream[TurnIn]
+    val query = StreamingConvGate(input.toDS(),
+      lateness = "10 minutes", closeGapMinutes = 60)
+      .writeStream.format("memory").queryName("convgate")
+      .outputMode("append").start()
+    try {
+      val third = rows.length / 3
+      input.addData(rows.take(third).toSeq)
+      query.processAllAvailable()
+      input.addData(rows.slice(third, 2 * third).toSeq)
+      query.processAllAvailable()
+      input.addData(rows.drop(2 * third).toSeq)
+      query.processAllAvailable()
+      // push the watermark past every conversation's close gap
+      val maxTs = rows.map(_.ts.getTime).max
+      input.addData(Seq(TurnIn("zz-sentinel", 0, "user", "",
+        new Timestamp(maxTs + 100L * 60000L))))
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = spark.table("convgate")
+      .where(col("conv_id") =!= "zz-sentinel")
+    val want = graft.transcript.ConvGate.signals(spark, injected)
+      .select(got.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // exactly-once: one verdict row per conversation
+    assert(got.count() ===
+      injected.select("conv_id").distinct().count())
+  }
 }
