@@ -857,6 +857,17 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Conversation language-consistency rollup over the flagship's
+    // per-turn verdicts (majority lang ≥ 75% by cross-multiplication;
+    // conversation keep = consistent AND ≥ 50% turns kept). The oracle
+    // GROUPs the committed q15 golden — the per-turn inputs are already
+    // value-pinned, the rollup is recomputed by DuckDB.
+    "q95_conv_lang_rollup" -> ((s, dir) => {
+      graft.transcript.ConvOps
+        .langRollup(s, graft.run.QualityFilter(s, synthTurns(s, dir)))
+        .orderBy("conv_id")
+    }),
+
     // DSIR Gumbel-top-k resampling (the paper's actual SAMPLING rule —
     // q77's plain top-k is its zero-temperature case): perturb each log
     // weight with seeded integer micro-nat Gumbel noise and take the
@@ -2113,6 +2124,37 @@ object SparkEntry {
         s"""SELECT conv_id, turn_idx, scrubbed, n_aliased
            FROM read_parquet('$golden/pseudo_sf001.parquet')
            ORDER BY conv_id, turn_idx""",
+      // q95: per-turn (lang, keep) is the committed q15 golden; the
+      // rollup is recomputed by DuckDB's own aggregation/window engine
+      "q95_conv_lang_rollup" ->
+        s"""WITH t AS (
+             SELECT conv_id, lang, keep
+             FROM read_parquet('$golden/turns_sf001_golden.parquet')),
+           c AS (
+             SELECT conv_id, lang, count(*) AS lang_cnt
+             FROM t GROUP BY 1, 2),
+           m AS (
+             SELECT conv_id, lang AS major_lang, lang_cnt AS major_cnt,
+               row_number() OVER (PARTITION BY conv_id
+                 ORDER BY lang_cnt DESC, lang) AS rn
+             FROM c),
+           nl AS (
+             SELECT conv_id, cast(count(*) AS BIGINT) AS n_langs
+             FROM c GROUP BY 1),
+           tot AS (
+             SELECT conv_id, count(*) AS n_turns,
+               cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept
+             FROM t GROUP BY 1)
+           SELECT tot.conv_id, n_turns, n_kept, n_langs, major_lang,
+             major_cnt,
+             (major_cnt * 4 >= n_turns * 3) AS lang_consistent,
+             (major_cnt * 4 >= n_turns * 3 AND n_kept * 2 >= n_turns)
+               AS conv_keep
+           FROM tot
+           JOIN (SELECT * FROM m WHERE rn = 1) mm ON tot.conv_id = mm.conv_id
+           JOIN nl ON tot.conv_id = nl.conv_id
+           ORDER BY tot.conv_id""",
       // q94: stage 1 replays the q93 golden; dedup/gate/assembly are
       // recomputed by DuckDB's own window engine over it
       "q94_sft_manifest" ->

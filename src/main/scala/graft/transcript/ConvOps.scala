@@ -145,6 +145,42 @@ object ConvOps {
       .select("conv_id", "turn_idx", "n_ctx", "context")
   }
 
+  /** q95 — conversation-level language-consistency rollup over the
+    * flagship's per-turn verdicts (the CCNet-style "a document has one
+    * language" rule lifted to conversations): majority language by count
+    * with a deterministic ASCII tie-break, distinct-language count, an
+    * exact-integer consistency test (majority ≥ 75% of turns, by
+    * cross-multiplication), and the conversation keep (consistent AND
+    * ≥ 50% of turns individually kept).
+    *
+    * Input: per-turn (conv_id, lang, keep) — in the battery this is the
+    * flagship QualityFilter output, so the oracle can GROUP the committed
+    * q15 golden. Every aggregation/window/join clusters on conv_id or a
+    * superset, so the rollup adds ONE hash exchange after the flagship's
+    * own partitioning. */
+  def langRollup(spark: SparkSession, perTurn: DataFrame): DataFrame = {
+    val counts = perTurn.groupBy("conv_id", "lang")
+      .agg(count(lit(1)).as("lang_cnt"))
+    val wm = Window.partitionBy("conv_id")
+      .orderBy(col("lang_cnt").desc, col("lang"))
+    val major = counts
+      .withColumn("rn", row_number().over(wm))
+      .where(col("rn") === 1)
+      .select(col("conv_id"), col("lang").as("major_lang"),
+        col("lang_cnt").as("major_cnt"))
+    val nl = counts.groupBy("conv_id").agg(count(lit(1)).as("n_langs"))
+    val tot = perTurn.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      boolSum(col("keep")).as("n_kept"))
+    tot.join(major, Seq("conv_id")).join(nl, Seq("conv_id"))
+      .withColumn("lang_consistent",
+        col("major_cnt") * 4 >= col("n_turns") * 3)
+      .withColumn("conv_keep",
+        col("lang_consistent") && col("n_kept") * 2 >= col("n_turns"))
+      .select("conv_id", "n_turns", "n_kept", "n_langs", "major_lang",
+        "major_cnt", "lang_consistent", "conv_keep")
+  }
+
   /** Deterministic violation injection for the q87/q88 oracles: the
     * generator's transcripts are structurally CLEAN (contiguous idx,
     * monotone ts, legal roles), so — the fixture rule — every audit branch

@@ -36,10 +36,15 @@ object SftPipeline {
       turns: DataFrame,
       ctxTurns: Int = 6
   ): DataFrame = {
-    // 1. scrub first: aliased rewrite, then re-attach the trace columns
-    val scrubbed = Pseudonymize.rewrite(spark, turns)
-      .join(turns.select("conv_id", "turn_idx", "role", "tool", "ts_ms"),
-        Seq("conv_id", "turn_idx"))
+    // 1. scrub first: aliased rewrite, then re-attach the trace columns.
+    // PINNED (Materialize.pin): the regex-chain rewrite is the capstone's
+    // dominant per-row cost and feeds THREE downstream consumers (the
+    // dedup's two passes + the survivor semi-join) — without the pin each
+    // branch would re-run the whole chain (the q59 lesson).
+    val scrubbed = graft.run.Materialize.pin(
+      Pseudonymize.rewrite(spark, turns)
+        .join(turns.select("conv_id", "turn_idx", "role", "tool", "ts_ms"),
+          Seq("conv_id", "turn_idx")))
 
     // 2. cross-conversation turn dedup on the scrubbed text
     val verdict = TurnDedup.dedup(spark,

@@ -110,6 +110,34 @@ class ConvOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(agg.getLong(7) > 0L, "no conversation stayed clean")
   }
 
+  test("lang rollup: majority, tie-break, consistency, conversation keep") {
+    val perTurn = Seq(
+      // l1: 3/4 en = exactly 75% consistent; 2/4 kept = keep
+      ("l1", "en", true), ("l1", "en", true), ("l1", "en", false),
+      ("l1", "de", false),
+      // l2: 2 en / 2 de tie -> lexicographic winner 'de'; 50% < 75% -> mixed
+      ("l2", "en", true), ("l2", "de", true), ("l2", "en", true),
+      ("l2", "de", true),
+      // l3: consistent but only 1/3 kept -> conv dropped
+      ("l3", "fr", false), ("l3", "fr", false), ("l3", "fr", true))
+      .toDF("conv_id", "lang", "keep")
+    val out = ConvOps.langRollup(spark, perTurn)
+      .orderBy("conv_id").collect()
+    val l1 = out(0)
+    assert(l1.getAs[String]("major_lang") === "en")
+    assert(l1.getAs[Long]("major_cnt") === 3L)
+    assert(l1.getAs[Long]("n_langs") === 2L)
+    assert(l1.getAs[Boolean]("lang_consistent"))
+    assert(l1.getAs[Boolean]("conv_keep"))
+    val l2 = out(1)
+    assert(l2.getAs[String]("major_lang") === "de") // deterministic tie
+    assert(!l2.getAs[Boolean]("lang_consistent"))
+    assert(!l2.getAs[Boolean]("conv_keep"))
+    val l3 = out(2)
+    assert(l3.getAs[Boolean]("lang_consistent"))
+    assert(!l3.getAs[Boolean]("conv_keep")) // 1*2 < 3
+  }
+
   test("assemble: frame-bounded context in turn order") {
     val out = ConvOps.assemble(spark, turnsDF(clean), ctxTurns = 2)
       .orderBy("turn_idx").collect()
