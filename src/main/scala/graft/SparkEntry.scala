@@ -857,6 +857,24 @@ object SparkEntry {
         .orderBy("conv_id", "turn_idx")
     }),
 
+    // Pack the SFT manifest into fixed-budget training windows (the
+    // pretraining layout step, q48's ordered offset packing applied to
+    // q94's output): 8 shards keyed on the conv-id suffix (engine-agnostic,
+    // unlike xxhash64 which DuckDB lacks), weight = context chars + fixed
+    // overhead, ONE window shuffle per shard. Oracle extends the q94
+    // recomputation with the same running-sum layout.
+    "q96_sft_pack" -> ((s, dir) => {
+      val man = graft.transcript.SftPipeline.manifest(s, turnsMs(s, dir))
+      val weighted = man.select(
+        expr("cast(substring(conv_id, 6) as bigint) % 8").as("shard"),
+        col("conv_id"), col("turn_idx"),
+        (length(col("context")).cast("long") + 64L).as("weight"))
+      graft.operators.Pack.contiguous(weighted, Seq("shard"), "conv_id",
+          "weight", budget = 4096L, tieCols = Seq("turn_idx"))
+        .select("shard", "conv_id", "turn_idx", "weight", "bin")
+        .orderBy("shard", "conv_id", "turn_idx")
+    }),
+
     // Conversation language-consistency rollup over the flagship's
     // per-turn verdicts (majority lang ≥ 75% by cross-multiplication;
     // conversation keep = consistent AND ≥ 50% turns kept). The oracle
@@ -1518,10 +1536,77 @@ object SparkEntry {
        ORDER BY conv_id, kind, alias_idx"""
   }
 
+  /** q94's manifest recomputation (no final ORDER BY) — shared by the
+    * q94 oracle and q96's packing layout over it. */
+  private def sftOracle(golden: String): String =
+    s"""WITH raw AS (
+             SELECT conv_id, turn_idx, role, tool, epoch_ms(ts) AS ts_ms
+             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
+           scr AS (
+             SELECT g.conv_id, g.turn_idx, g.scrubbed, r.role, r.tool,
+                    r.ts_ms
+             FROM read_parquet('$golden/pseudo_sf001.parquet') g
+             JOIN raw r
+               ON g.conv_id = r.conv_id AND g.turn_idx = r.turn_idx),
+           w AS (
+             SELECT conv_id, turn_idx,
+               count(*) OVER (PARTITION BY scrubbed) AS n_occ,
+               first_value(conv_id) OVER win AS kc,
+               first_value(turn_idx) OVER win AS ki
+             FROM scr WHERE length(scrubbed) >= 15
+             WINDOW win AS (PARTITION BY scrubbed
+               ORDER BY conv_id, turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+           drop_set AS (
+             SELECT conv_id, turn_idx FROM w
+             WHERE n_occ > 1 AND NOT (kc = conv_id AND ki = turn_idx)),
+           surv AS (
+             SELECT s.* FROM scr s
+             LEFT JOIN drop_set d
+               ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
+             WHERE d.conv_id IS NULL),
+           lg AS (
+             SELECT conv_id, turn_idx, role, scrubbed, ts_ms,
+               ts_ms - lag(ts_ms) OVER win AS gap,
+               CASE WHEN lag(role) OVER win IS NULL
+                         OR lag(role) OVER win <> role
+                    THEN 1 ELSE 0 END AS chg
+             FROM surv
+             WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)),
+           st AS (
+             SELECT *, sum(chg) OVER (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             FROM lg),
+           sl AS (
+             SELECT *, count(*) OVER (PARTITION BY conv_id, sid) AS slen
+             FROM st),
+           keptc AS (
+             SELECT conv_id FROM sl GROUP BY conv_id
+             HAVING coalesce(min(gap), 0) >= 0
+                AND sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) * 4
+                      <= count(*)
+                AND max(slen) <= 2),
+           fs AS (
+             SELECT s.conv_id, s.turn_idx, s.role, s.scrubbed, s.ts_ms
+             FROM surv s JOIN keptc k ON s.conv_id = k.conv_id),
+           ctx AS (
+             SELECT conv_id, turn_idx, role,
+               count(*) OVER frame AS n_ctx,
+               coalesce(string_agg(role || ': ' || scrubbed, chr(10))
+                 OVER frame, '') AS context
+             FROM fs
+             WINDOW frame AS (PARTITION BY conv_id
+               ORDER BY turn_idx, ts_ms
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
+           SELECT conv_id, turn_idx, n_ctx, context
+           FROM ctx WHERE role = 'assistant'"""
+
   def oracleSql: Map[String, String] = {
     // committed golden fixtures the oracle replays (generated by the
     // tools/ generators and the Golden* test mains; see COVERAGE.md)
     val golden = "/root/repo/src/test/resources/golden"
+    val sftManifestSql = sftOracle(golden)
     val words =
       "case when trim(text)='' then 0 else len(list_filter(regexp_split_to_array(trim(text),'\\s+'), x -> x != '')) end"
     Map(
@@ -2158,69 +2243,26 @@ object SparkEntry {
       // q94: stage 1 replays the q93 golden; dedup/gate/assembly are
       // recomputed by DuckDB's own window engine over it
       "q94_sft_manifest" ->
-        s"""WITH raw AS (
-             SELECT conv_id, turn_idx, role, tool, epoch_ms(ts) AS ts_ms
-             FROM read_parquet('$golden/turns_raw_sf001.parquet')),
-           scr AS (
-             SELECT g.conv_id, g.turn_idx, g.scrubbed, r.role, r.tool,
-                    r.ts_ms
-             FROM read_parquet('$golden/pseudo_sf001.parquet') g
-             JOIN raw r
-               ON g.conv_id = r.conv_id AND g.turn_idx = r.turn_idx),
-           w AS (
-             SELECT conv_id, turn_idx,
-               count(*) OVER (PARTITION BY scrubbed) AS n_occ,
-               first_value(conv_id) OVER win AS kc,
-               first_value(turn_idx) OVER win AS ki
-             FROM scr WHERE length(scrubbed) >= 15
-             WINDOW win AS (PARTITION BY scrubbed
-               ORDER BY conv_id, turn_idx
-               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
-           drop_set AS (
-             SELECT conv_id, turn_idx FROM w
-             WHERE n_occ > 1 AND NOT (kc = conv_id AND ki = turn_idx)),
-           surv AS (
-             SELECT s.* FROM scr s
-             LEFT JOIN drop_set d
-               ON s.conv_id = d.conv_id AND s.turn_idx = d.turn_idx
-             WHERE d.conv_id IS NULL),
-           lg AS (
-             SELECT conv_id, turn_idx, role, scrubbed, ts_ms,
-               ts_ms - lag(ts_ms) OVER win AS gap,
-               CASE WHEN lag(role) OVER win IS NULL
-                         OR lag(role) OVER win <> role
-                    THEN 1 ELSE 0 END AS chg
-             FROM surv
-             WINDOW win AS (PARTITION BY conv_id ORDER BY turn_idx, ts_ms)),
-           st AS (
-             SELECT *, sum(chg) OVER (PARTITION BY conv_id
-               ORDER BY turn_idx, ts_ms
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-             FROM lg),
-           sl AS (
-             SELECT *, count(*) OVER (PARTITION BY conv_id, sid) AS slen
-             FROM st),
-           keptc AS (
-             SELECT conv_id FROM sl GROUP BY conv_id
-             HAVING coalesce(min(gap), 0) >= 0
-                AND sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) * 4
-                      <= count(*)
-                AND max(slen) <= 2),
-           fs AS (
-             SELECT s.conv_id, s.turn_idx, s.role, s.scrubbed, s.ts_ms
-             FROM surv s JOIN keptc k ON s.conv_id = k.conv_id),
-           ctx AS (
-             SELECT conv_id, turn_idx, role,
-               count(*) OVER frame AS n_ctx,
-               coalesce(string_agg(role || ': ' || scrubbed, chr(10))
-                 OVER frame, '') AS context
-             FROM fs
-             WINDOW frame AS (PARTITION BY conv_id
-               ORDER BY turn_idx, ts_ms
-               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))
-           SELECT conv_id, turn_idx, n_ctx, context
-           FROM ctx WHERE role = 'assistant'
+        s"""$sftManifestSql
            ORDER BY conv_id, turn_idx""",
+      // q96: the same manifest recomputation laid out by the ordered
+      // offset packing (running sum per shard, floor(cum_before/budget))
+      "q96_sft_pack" ->
+        s"""WITH man AS ($sftManifestSql),
+           mw AS (
+             SELECT CAST(substring(conv_id, 6) AS BIGINT) % 8 AS shard,
+               conv_id, turn_idx,
+               CAST(length(context) AS BIGINT) + 64 AS weight
+             FROM man),
+           p AS (
+             SELECT shard, conv_id, turn_idx, weight,
+               sum(weight) OVER (PARTITION BY shard
+                 ORDER BY conv_id, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM mw)
+           SELECT shard, conv_id, turn_idx, weight,
+             CAST(floor((cum - weight) / 4096) AS BIGINT) AS bin
+           FROM p ORDER BY shard, conv_id, turn_idx""",
       "q92_conv_gate" ->
         s"""WITH raw AS (
              SELECT conv_id, turn_idx, role, text, tool,
