@@ -1464,6 +1464,45 @@ object SparkEntry {
       graft.run.CheckpointedRun.metrics(s, out)
         .select(col("bucket"), col("rows"), col("kept"))
         .orderBy("bucket")
+    }),
+
+    // Cross-turn repetition signals (the north star's "window functions
+    // over (conv_id ORDER BY turn_idx) for cross-turn repetition rules",
+    // widened to any-distance repeats): occurrence index, echo distance,
+    // lag-1 / same-role dups, identical-run length, short-ack exemption.
+    // Natural data — the generator emits verbatim cross-turn repeats.
+    // Oracle recomputes every window in DuckDB over the raw dump.
+    "q97_cross_turn" -> ((s, dir) => {
+      graft.transcript.CrossTurn.signals(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Assistant boilerplate/refusal signals: the pattern list compiles to
+    // built-in regexp_extract_all expressions AND generates the DuckDB
+    // oracle (the q91 zero-drift technique); deterministic boilerplate
+    // injections keyed on (cv, ti, role) exercise every pattern (the
+    // fixture rule — the generator has no natural boilerplate).
+    "q98_boilerplate" -> ((s, dir) => {
+      graft.transcript.Boilerplate.signals(s,
+        graft.transcript.Boilerplate.inject(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
+    // Tool-call loop detection: maximal identical-(role,tool,text) runs
+    // via the streak-id trick; runs of >= 3 tool turns are loops. Loops
+    // are injected deterministically (value mutations the oracle replays).
+    "q99_tool_loops" -> ((s, dir) => {
+      graft.transcript.ToolLoops.signals(s,
+        graft.transcript.ToolLoops.inject(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
+    // Context-window truncation: keep each conversation's most recent
+    // suffix within a byte budget (reverse running sum), anchor turn
+    // exempt, contiguous reindex of the kept turns.
+    "q100_context_budget" -> ((s, dir) => {
+      graft.transcript.ContextBudget.truncate(s, turnsMs(s, dir))
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
@@ -2203,6 +2242,14 @@ object SparkEntry {
            LEFT JOIN d ON r.conv_id = d.conv_id AND r.turn_idx = d.turn_idx
            ORDER BY r.conv_id, r.turn_idx""",
       "q91_conv_pseudonyms" -> pseudoOracle(golden),
+      // q97-q100: input-pinned transcript signals — windows/regex/rollup
+      // recomputed end-to-end by DuckDB over the committed raw dump; the
+      // q98 SQL is GENERATED from the same pattern list as the Spark plan
+      "q97_cross_turn" -> graft.transcript.CrossTurn.oracleSql(golden),
+      "q98_boilerplate" -> graft.transcript.Boilerplate.oracleSql(golden),
+      "q99_tool_loops" -> graft.transcript.ToolLoops.oracleSql(golden),
+      "q100_context_budget" ->
+        graft.transcript.ContextBudget.oracleSql(golden),
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->
