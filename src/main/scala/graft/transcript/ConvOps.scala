@@ -155,12 +155,24 @@ object ConvOps {
     *
     * Input: per-turn (conv_id, lang, keep) — in the battery this is the
     * flagship QualityFilter output, so the oracle can GROUP the committed
-    * q15 golden. Every aggregation/window/join clusters on conv_id or a
-    * superset, so the rollup adds ONE hash exchange after the flagship's
-    * own partitioning. */
+    * q15 golden.
+    *
+    * Cost contract: the per-turn input is scanned ONCE. The narrow
+    * projection is repartitioned on conv_id up front, so (a) the
+    * (conv_id, lang) groupBy, the conv-level rollup, the majority window,
+    * and the final join all reuse that ONE exchange (HashPartitioning on
+    * conv_id satisfies every ClusteredDistribution whose keys contain
+    * conv_id — the q92/ConvGate subset rule), and (b) the two consumers of
+    * `counts` share the exchange via stage reuse, so an EXPENSIVE perTurn
+    * lineage (the flagship langid+perplexity+scrub chain) evaluates once
+    * on the map side instead of once per aggregate subtree — the previous
+    * shape re-ran the whole chain for the per-conv totals. */
   def langRollup(spark: SparkSession, perTurn: DataFrame): DataFrame = {
-    val counts = perTurn.groupBy("conv_id", "lang")
-      .agg(count(lit(1)).as("lang_cnt"))
+    val byConv = perTurn.select("conv_id", "lang", "keep")
+      .repartition(col("conv_id"))
+    val counts = byConv.groupBy("conv_id", "lang").agg(
+      count(lit(1)).as("lang_cnt"),
+      boolSum(col("keep")).as("kept_cnt"))
     val wm = Window.partitionBy("conv_id")
       .orderBy(col("lang_cnt").desc, col("lang"))
     val major = counts
@@ -168,11 +180,11 @@ object ConvOps {
       .where(col("rn") === 1)
       .select(col("conv_id"), col("lang").as("major_lang"),
         col("lang_cnt").as("major_cnt"))
-    val nl = counts.groupBy("conv_id").agg(count(lit(1)).as("n_langs"))
-    val tot = perTurn.groupBy("conv_id").agg(
-      count(lit(1)).as("n_turns"),
-      boolSum(col("keep")).as("n_kept"))
-    tot.join(major, Seq("conv_id")).join(nl, Seq("conv_id"))
+    val tot = counts.groupBy("conv_id").agg(
+      sum(col("lang_cnt")).as("n_turns"),
+      sum(col("kept_cnt")).as("n_kept"),
+      count(lit(1)).as("n_langs"))
+    tot.join(major, Seq("conv_id"))
       .withColumn("lang_consistent",
         col("major_cnt") * 4 >= col("n_turns") * 3)
       .withColumn("conv_keep",
