@@ -1503,6 +1503,33 @@ object SparkEntry {
     "q100_context_budget" -> ((s, dir) => {
       graft.transcript.ContextBudget.truncate(s, turnsMs(s, dir))
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Timestamp-integrity signals: out-of-order clocks and session-stitch
+    // gaps per conversation (additive deterministic ts injections — the
+    // generator's clock is perfectly regular). One conv_id exchange.
+    "q101_turn_timing" -> ((s, dir) => {
+      graft.transcript.TurnTiming.signals(s,
+        graft.transcript.TurnTiming.inject(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
+    // Fenced-code-block mining: per-conversation block/language counts and
+    // code mass from ONE shared regex (the pattern also generates the
+    // oracle). Injected fences — the generator emits no backticks.
+    "q102_code_blocks" -> ((s, dir) => {
+      graft.transcript.CodeBlocks.signals(s,
+        graft.transcript.CodeBlocks.inject(turnsMs(s, dir)))
+        .orderBy("conv_id")
+    }),
+
+    // Conversation-grain near-duplicate pairs: exact Jaccard over ordered
+    // turn-text 3-shingles (md5 keys both engines can compute), stop-
+    // shingle cap, injected near-copies of every 17th conversation.
+    "q103_conv_neardup" -> ((s, dir) => {
+      graft.transcript.ConvNearDup.pairs(s,
+        graft.transcript.ConvNearDup.inject(turnsMs(s, dir)))
+        .orderBy("conv_a", "conv_b")
     })
   )
 
@@ -2250,6 +2277,9 @@ object SparkEntry {
       "q99_tool_loops" -> graft.transcript.ToolLoops.oracleSql(golden),
       "q100_context_budget" ->
         graft.transcript.ContextBudget.oracleSql(golden),
+      "q101_turn_timing" -> graft.transcript.TurnTiming.oracleSql(golden),
+      "q102_code_blocks" -> graft.transcript.CodeBlocks.oracleSql(golden),
+      "q103_conv_neardup" -> graft.transcript.ConvNearDup.oracleSql(golden),
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->
