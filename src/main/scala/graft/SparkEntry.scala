@@ -1530,6 +1530,18 @@ object SparkEntry {
       graft.transcript.ConvNearDup.pairs(s,
         graft.transcript.ConvNearDup.inject(turnsMs(s, dir)))
         .orderBy("conv_a", "conv_b")
+    }),
+    "q104_tool_profile" -> ((s, dir) => {
+      graft.transcript.ToolProfile.profile(s,
+        graft.transcript.ToolProfile.inject(turnsMs(s, dir)))
+    }),
+    "q105_role_grammar" -> ((s, dir) => {
+      graft.transcript.RoleGrammar.matrix(s,
+        graft.transcript.RoleGrammar.inject(turnsMs(s, dir)))
+    }),
+    "q106_branch_families" -> ((s, dir) => {
+      graft.transcript.BranchFamilies.families(s,
+        graft.transcript.BranchFamilies.inject(turnsMs(s, dir)))
     })
   )
 
@@ -2280,6 +2292,10 @@ object SparkEntry {
       "q101_turn_timing" -> graft.transcript.TurnTiming.oracleSql(golden),
       "q102_code_blocks" -> graft.transcript.CodeBlocks.oracleSql(golden),
       "q103_conv_neardup" -> graft.transcript.ConvNearDup.oracleSql(golden),
+      "q104_tool_profile" -> graft.transcript.ToolProfile.oracleSql(golden),
+      "q105_role_grammar" -> graft.transcript.RoleGrammar.oracleSql(golden),
+      "q106_branch_families" ->
+        graft.transcript.BranchFamilies.oracleSql(golden),
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->
