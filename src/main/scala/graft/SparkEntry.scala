@@ -1542,6 +1542,17 @@ object SparkEntry {
     "q106_branch_families" -> ((s, dir) => {
       graft.transcript.BranchFamilies.families(s,
         graft.transcript.BranchFamilies.inject(turnsMs(s, dir)))
+    }),
+    "q107_quote_leak" -> ((s, dir) => {
+      // same benchmark slice as q73, leaked into TURNS instead of docs
+      val d = docs(s, dir).select("doc_id", "text")
+      val bench = d
+        .where(col("doc_id") % 10 === 0 && length(col("text")) >= 140)
+        .select(col("doc_id").as("bench_id"),
+          substring(col("text"), 41, 100).as("text"))
+      graft.transcript.QuoteLeak.report(s,
+        graft.transcript.QuoteLeak.inject(turnsMs(s, dir), bench), bench)
+        .orderBy("bench_id")
     })
   )
 
@@ -2296,6 +2307,7 @@ object SparkEntry {
       "q105_role_grammar" -> graft.transcript.RoleGrammar.oracleSql(golden),
       "q106_branch_families" ->
         graft.transcript.BranchFamilies.oracleSql(golden),
+      "q107_quote_leak" -> graft.transcript.QuoteLeak.oracleSql(golden),
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->

@@ -335,6 +335,32 @@ object Stress {
         .agg(sum(col("n_aliased")), sum(length(col("scrubbed")))).head()
       (row.getLong(0), row.getLong(1))
     }
+    // q104-q106 profile family at the same ~18M-turn scale. Witnesses:
+    // total latency samples + errors + the p50/p95 mass over tools; total
+    // transitions (== corpus turns, the conservation invariant) + illegal
+    // mass; family count + member mass + depth mass.
+    val ((tpCalls, tpErrors, tpPctSum), tpSec) = timed {
+      val row = graft.transcript.ToolProfile.profile(spark,
+        graft.transcript.ToolProfile.inject(bigTurns))
+        .agg(sum(col("n_calls")), sum(col("n_errors")),
+          sum(col("p50_lat_ms") + col("p95_lat_ms"))).head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
+    val ((rgTrans, rgIllegal), rgSec) = timed {
+      val row = graft.transcript.RoleGrammar.matrix(spark,
+        graft.transcript.RoleGrammar.inject(bigTurns))
+        .agg(sum(col("n_transitions")),
+          sum(when(col("legal"), 0L).otherwise(col("n_transitions"))))
+        .head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val ((bfFams, bfConvs, bfDepth), bfSec) = timed {
+      val row = graft.transcript.BranchFamilies.families(spark,
+        graft.transcript.BranchFamilies.inject(bigTurns))
+        .agg(count(lit(1)), sum(col("n_convs")), sum(col("shared_depth")))
+        .head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
 
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
@@ -374,6 +400,9 @@ object Stress {
         f""""turn_dedup":{"sec":$tdSec%.1f,"dups":$tdDups,"occ_sum":$tdOccSum},""" +
         f""""conv_gate":{"sec":$cgSec%.1f,"kept":$cgKept,"gap_sum":$cgGapSum},""" +
         f""""pseudo_rewrite":{"sec":$prSec%.1f,"subs":$prSubs,"chars":$prChars},""" +
+        f""""tool_profile":{"sec":$tpSec%.1f,"calls":$tpCalls,"errors":$tpErrors,"pct_sum":$tpPctSum},""" +
+        f""""role_grammar":{"sec":$rgSec%.1f,"transitions":$rgTrans,"illegal":$rgIllegal},""" +
+        f""""branch_families":{"sec":$bfSec%.1f,"families":$bfFams,"convs":$bfConvs,"depth_sum":$bfDepth},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")

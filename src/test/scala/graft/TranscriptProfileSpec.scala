@@ -186,6 +186,57 @@ class TranscriptProfileSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  // ---- QuoteLeak ----------------------------------------------------------
+
+  private def benchDF(items: (Long, String)*): DataFrame =
+    items.toSeq.toDF("bench_id", "text")
+
+  private def rndText(seed: Int, n: Int = 100): String = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(n)(('a' + r.nextInt(26)).toChar).mkString
+  }
+
+  test("quote leak: per-item window counts; only quoted items found") {
+    val x = rndText(7)
+    val y = rndText(11)
+    val bench = benchDF(10L -> x, 20L -> y)
+    // one turn quotes chars 11..70 of x (the injection slice); y is never
+    // quoted anywhere in the corpus
+    val rows = Seq(
+      ("c1", 0, "user", "please check this paragraph", "", 0L),
+      ("c1", 1, "assistant",
+        "it says: " + x.substring(10, 70) + " which is the eval item", "",
+        1L),
+      ("c2", 0, "user", "unrelated chatter entirely", "", 0L))
+    val out = graft.transcript.QuoteLeak
+      .report(spark, turnsDF(rows), bench)
+      .collect().map(r => r.getAs[Long]("bench_id") -> r).toMap
+    // 100-char item, k=30 -> 71 distinct windows; a 60-char quote covers
+    // window starts 11..41 of the item = 31 found
+    assert(out(10L).getAs[Long]("n_windows") === 71L)
+    assert(out(10L).getAs[Long]("n_found") === 31L)
+    assert(out(20L).getAs[Long]("n_windows") === 71L)
+    assert(out(20L).getAs[Long]("n_found") === 0L)
+  }
+
+  test("quote leak: generators share no windows; injection plants them") {
+    val bench = benchDF(
+      (0L until 5L).map(i => (i * 10, rndText(100 + i.toInt))): _*)
+    val natural = graft.transcript.QuoteLeak
+      .report(spark, synthTurnsMs(100), bench)
+    assert(natural.agg(org.apache.spark.sql.functions.sum("n_found"))
+      .head.getLong(0) === 0L,
+      "the transcript generator must share no 30-char window with bench")
+    val injected = graft.transcript.QuoteLeak.report(spark,
+      graft.transcript.QuoteLeak.inject(synthTurnsMs(100), bench), bench)
+      .collect()
+    assert(injected.forall(_.getAs[Long]("n_windows") === 71L))
+    val found = injected.filter(_.getAs[Long]("n_found") > 0L)
+    assert(found.nonEmpty, "the injection must leak at least one item")
+    assert(found.forall(_.getAs[Long]("n_found") === 31L),
+      "a quoted item leaks exactly its 31 spliced windows")
+  }
+
   /** Generator turns with ts projected to epoch ms (the q87-q106 shape). */
   private def synthTurnsMs(nConvs: Int): DataFrame = {
     import org.apache.spark.sql.functions._
