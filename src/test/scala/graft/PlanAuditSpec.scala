@@ -476,6 +476,55 @@ class PlanAuditSpec extends AnyFunSuite with SparkTestBase {
       s"BM25 exchanges must not carry text: $badExchange")
   }
 
+  test("quote-leak report: exchanges stay bench-window-scale, never the corpus") {
+    import spark.implicits._
+    // fat corpus turns (~1 KB each, ~2 MB total) against a tiny benchmark:
+    // every exchange inside the leak report (probe distinct, found-window
+    // distinct, per-item join+agg) is bounded by the benchmark's window
+    // set, so total shuffle bytes must sit orders of magnitude below the
+    // corpus text. The report output is pinned (Scan ExistingRDD), so the
+    // byte listener — not a plan-line grep — is the audit.
+    val r = new TranscriptGen.Rng(7701L)
+    def blob(n: Int): String =
+      Seq.fill(n)(('a' + r.nextInt(26)).toChar).mkString
+    val bench = (0L until 5L).map(i => (i, blob(100)))
+      .toDF("bench_id", "text").localCheckpoint(true)
+    val quotes = bench.collect().map(_.getString(1).substring(10, 70))
+    val corpus = (0L until 2000L).map { i =>
+      val base = blob(1000)
+      // every 50th turn quotes one eval item, so the found path is live
+      val t = if (i % 50 == 0) base + " " + quotes((i / 50 % 5).toInt) else base
+      Tuple1(t)
+    }.toDF("text").localCheckpoint(true)
+    val corpusBytes = corpus.agg(sum(octet_length($"text"))).head.getLong(0)
+    assert(corpusBytes > 2000000L)
+
+    val shuffleWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null)
+          shuffleWrite.addAndGet(e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        val rows = graft.text.SpanDecontaminate.leakReport(
+          spark, corpus, bench, "bench_id", "text",
+          graft.text.SpanDecontaminate.Config(k = 30))
+          .collect().map(x => x.getAs[Long]("bench_id") ->
+            (x.getAs[Long]("n_windows"), x.getAs[Long]("n_found"))).toMap
+        Thread.sleep(1000)
+        rows
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // 100-char items, k=30 -> 71 windows; a 60-char quote plants 31
+    assert(out.size === 5 && out.values.forall(_ == (71L, 31L)))
+    // 5 items x 71 windows x 30 chars ~ 11 KB of probe material; 256 KB
+    // absorbs exchange overhead while a corpus-text shuffle (2 MB+) trips
+    assert(shuffleWrite.get() < 256 * 1024,
+      s"leak report shuffled ${shuffleWrite.get()} bytes vs corpus " +
+        s"$corpusBytes — exchanges must stay bench-window-scale")
+  }
+
   test("salted repartition spreads a skewed key across partitions") {
     import spark.implicits._
     // one KEY with 10k distinct rows (a mega-conversation: same conv_id,
