@@ -253,6 +253,11 @@ object Bench {
               System.err.println(s"[bench] $name FAILED: $e")
           }
           times += (System.nanoTime() - t0) / 1e9
+          // untimed: free this rep's pinned stages (localCheckpoint blocks)
+          // so later queries aren't taxed by dead-block eviction/GC — the
+          // async ContextCleaner alone let pins stack up and made q94-q96
+          // run 3-8x over profile late in the battery
+          graft.run.Materialize.releaseAll(spark)
           rep += 1
         }
         spreads(name) = times.toSeq

@@ -26,6 +26,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // the write above is the final action on this query's plan — free its
+      // pinned stages so the 107-query dump doesn't stack dead blocks
+      graft.run.Materialize.releaseAll(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,6 +32,52 @@ object Materialize {
 
   val ConfKey = "spark.graft.checkpointDir"
 
+  /** Pinned RDDs per context, in pin order. localCheckpoint blocks are only
+    * reclaimed when the driver GCs the DataFrame AND the async
+    * ContextCleaner runs — in a long session that pins per-query stages
+    * (the bench battery, a multi-epoch production run) the lag stacks
+    * gigabytes of dead blocks in the block manager and later queries pay
+    * for it in eviction/GC (q94-q96 measured 3-8x slower late in the
+    * battery than in isolation). [[releaseAll]] makes the lifecycle
+    * explicit: harnesses call it at query boundaries, after the consumer's
+    * action has completed. Weak keys so a stopped context frees its list. */
+  private val livePins =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.SparkContext,
+        java.util.ArrayList[org.apache.spark.rdd.RDD[_]]]())
+
+  /** Unpersist every pin taken on `spark`'s context since the last release.
+    * Call ONLY at a point where no DataFrame returned by [[pin]] (or built
+    * on top of one) will execute again — a localCheckpointed stage has no
+    * recompute path, so a released pin that is re-read fails loudly.
+    * Returns the number of pins released. */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Int = {
+    val l = livePins.remove(spark.sparkContext)
+    if (l == null) 0
+    else {
+      var n = 0
+      l.forEach { rdd =>
+        try { rdd.unpersist(blocking = false); n += 1 }
+        catch { case _: Throwable => () }
+      }
+      n
+    }
+  }
+
+  private def track(sc: org.apache.spark.SparkContext, df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        livePins.synchronized {
+          var l = livePins.get(sc)
+          if (l == null) {
+            l = new java.util.ArrayList[org.apache.spark.rdd.RDD[_]]()
+            livePins.put(sc, l)
+          }
+          l.add(lr.rdd)
+        }
+      case _ => () // unexpected plan shape: skip tracking, never fail a pin
+    }
+
   /** The base dir last passed to `setCheckpointDir` per context. Comparing
     * against this (not against `getCheckpointDir`, which is base + a
     * per-call UUID subdir) makes the staleness check exact: a substring
@@ -46,7 +92,7 @@ object Materialize {
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
-    dir match {
+    val out = dir match {
       case Some(d) =>
         val sc = spark.sparkContext
         // setCheckpointDir appends a per-call UUID subdir — only (re)set when
@@ -59,6 +105,8 @@ object Materialize {
       case None =>
         df.localCheckpoint(eager = true)
     }
+    track(spark.sparkContext, out)
+    out
   }
 
   /** Input row for [[SumByKey]]: an opaque string key and a weight. */

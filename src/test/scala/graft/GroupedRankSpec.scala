@@ -204,6 +204,26 @@ class GroupedRankSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("Materialize.releaseAll frees pinned blocks after the final action") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    // drain pins any earlier suite/test left behind so the count below is ours
+    graft.run.Materialize.releaseAll(spark)
+    val before = sc.getPersistentRDDs.size
+    val pinned = graft.run.Materialize.pin(
+      spark.range(0, 1000).select(col("id"), (col("id") * 2).as("v")))
+    // data correct while pinned (the consumer's action)
+    assert(pinned.agg(sum("v")).as[Long].head() === 999L * 1000L)
+    assert(sc.getPersistentRDDs.size > before,
+      "pin should register a persistent RDD (localCheckpoint blocks)")
+    val released = graft.run.Materialize.releaseAll(spark)
+    assert(released >= 1)
+    assert(sc.getPersistentRDDs.size === before,
+      "releaseAll should unpersist every tracked pin")
+    // second release is a no-op, not an error
+    assert(graft.run.Materialize.releaseAll(spark) === 0)
+  }
+
   test("GroupedTopK ascending mode returns the k smallest") {
     import spark.implicits._
     val docs = mkDocs.filter(col("source").isNotNull)
