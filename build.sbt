@@ -30,4 +30,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // the 107-query battery generates far more JIT-compiled code than the
+  // JDK-17 default 240 MB code cache holds; once it fills, the sweeper
+  // evicts hot methods and the most CPU-bound queries (the flagship
+  // regex/langid chain) run 3-8x slower late in the battery than in
+  // isolation (standard Spark guidance for wholestage-codegen workloads)
+  "-XX:ReservedCodeCacheSize=512m",
 )

