@@ -1571,6 +1571,31 @@ object SparkEntry {
       graft.transcript.QuoteLeak.report(s,
         graft.transcript.QuoteLeak.inject(turnsMs(s, dir), bench), bench)
         .orderBy("bench_id")
+    }),
+
+    // Snapshot time travel on the Iceberg-emulation manifest (the north
+    // rule's "written to Iceberg" read side): commit v1 (full run), simulate
+    // a two-bucket loss (v2, the CheckpointSpec scenario), resume (v3), then
+    // read the table AS OF v2 — `CheckpointedRun.readAt` serves exactly the
+    // buckets v2's manifest lists via a partition-pruned scan, so a
+    // snapshot read on a 100-TB table costs the snapshot, not the table.
+    // Oracle: the committed flagship-verdict golden joined to the committed
+    // 16-bucket conv_id→bucket map, minus the lost buckets.
+    "q108_time_travel" -> ((s, dir) => {
+      val out = scratchPath(s, "q108_" + sanitize(dir))
+      val hconf = s.sparkContext.hadoopConfiguration
+      val hp = new org.apache.hadoop.fs.Path(out)
+      val fs = hp.getFileSystem(hconf)
+      if (fs.exists(hp)) fs.delete(hp, true)
+      val turns = synthTurns(s, dir)
+      graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v1
+      val m = graft.run.CheckpointedRun.readManifest(out, hconf)
+      graft.run.CheckpointedRun.writeManifest(
+        out, m.filterNot(e => Set(2, 5)(e.bucket)), hconf)        // v2
+      graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v3
+      graft.run.CheckpointedRun.readAt(s, out, 2, hconf)
+        .select(col("conv_id"), col("turn_idx"), col("keep"))
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
@@ -2326,6 +2351,16 @@ object SparkEntry {
       "q106_branch_families" ->
         graft.transcript.BranchFamilies.oracleSql(golden),
       "q107_quote_leak" -> graft.transcript.QuoteLeak.oracleSql(golden),
+      // q108: the snapshot-v2 read must equal the flagship verdict golden
+      // restricted to the buckets v2's manifest still lists (DuckDB replays
+      // the bucket membership from the committed 16-bucket conv_id map —
+      // the same pair of goldens that oracle q31's lineage counts)
+      "q108_time_travel" ->
+        s"""SELECT t.conv_id, t.turn_idx, t.keep
+           FROM read_parquet('$golden/turns_sf001_golden.parquet') t
+           JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id)
+           WHERE b.bucket NOT IN (2, 5)
+           ORDER BY t.conv_id, t.turn_idx""",
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->

@@ -174,6 +174,41 @@ object CheckpointedRun {
     parseManifest(readFully(fs, p))
   }
 
+  /** DATA time travel: the output table as of a committed snapshot version —
+    * the Iceberg `VERSION AS OF` read on the manifest emulation. Reads ONLY
+    * the bucket directories that snapshot's manifest lists (the `bucket=NN`
+    * partition filter prunes at planning time — a v1-of-v100 read over a
+    * 100-TB table scans v1's buckets, not the table), so the cost is
+    * proportional to the snapshot, never the current table.
+    *
+    * Fidelity note (documented, not hidden): unlike real Iceberg, the
+    * emulation's resume path rewrites a recomputed bucket's files IN PLACE
+    * (dynamic partition overwrite) rather than retaining immutable data
+    * files per snapshot. Pipeline determinism (same fingerprint ⇒
+    * byte-identical bucket contents, the resume invariant CheckpointSpec
+    * pins) is what makes the rewritten files valid stand-ins for the
+    * originals; a bucket is therefore only readable "as of v" while the
+    * CURRENT fingerprint matches v's — `readAt` enforces that loudly
+    * instead of serving a config's rows under another config's snapshot. */
+  def readAt(
+      spark: SparkSession,
+      out: String,
+      version: Int,
+      conf: Configuration = new Configuration()): DataFrame = {
+    val entries = manifestAt(out, version, conf)
+    require(entries.nonEmpty,
+      s"snapshot v$version does not exist (or is empty) under $out — " +
+        s"committed versions: ${snapshots(out, conf).mkString(",")}")
+    val current = readManifest(out, conf).map(e => e.bucket -> e.fingerprint).toMap
+    val stale = entries.filter(e => !current.get(e.bucket).contains(e.fingerprint))
+    require(stale.isEmpty,
+      s"snapshot v$version is no longer readable: buckets " +
+        s"${stale.map(_.bucket).sorted.mkString(",")} were rewritten under a " +
+        "different config fingerprint since that snapshot committed")
+    spark.read.parquet(out)
+      .filter(col("bucket").isin(entries.map(_.bucket): _*))
+  }
+
   /** Run (or resume) the pipeline; returns the per-bucket lineage written in
     * this invocation (empty when everything was already committed). */
   def run(

@@ -153,6 +153,63 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
       === (0 until nBuckets))
   }
 
+  test("readAt: data time travel serves exactly a snapshot's buckets, pruned") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val full = spark.read.parquet(out)
+      .select("conv_id", "turn_idx", "keep").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    // lose bucket 3 (manifest v2), resume (v3)
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(_.bucket == 3))
+    Files.walk(Paths.get(out, "bucket=3"))
+      .iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+
+    val v2 = CheckpointedRun.readAt(spark, out, 2)
+    // partition pruning, not a post-scan filter: the bucket IN (...) predicate
+    // must land in the scan's PartitionFilters (inputFiles reflects the
+    // pre-pruning FileIndex, so the plan is the thing to assert on)
+    val scanPlan = v2.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("bucket"),
+      s"expected bucket partition pruning in scan:\n$scanPlan")
+    val got = v2.select("conv_id", "turn_idx", "keep").collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    // expected membership derived from the snapshot manifest itself
+    val v2Buckets = CheckpointedRun.manifestAt(out, 2).map(_.bucket).toSet
+    val byBucket = spark.read.parquet(out)
+      .select(col("conv_id"), col("bucket")).distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val want = full.filter { case ((cid, _), _) => v2Buckets(byBucket(cid)) }
+    assert(got === want)
+    assert(got.size < full.size, "the truncated snapshot must be smaller")
+    // manifest row counts agree with what the snapshot read returns
+    assert(CheckpointedRun.manifestAt(out, 2).map(_.rows).sum === got.size)
+    // latest snapshot == current table
+    val latest = CheckpointedRun.snapshots(out).last
+    assert(CheckpointedRun.readAt(spark, out, latest).count() === full.size)
+  }
+
+  test("readAt: nonexistent version and cross-config snapshots fail loudly") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 40, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val missing = intercept[IllegalArgumentException] {
+      CheckpointedRun.readAt(spark, out, 99)
+    }
+    assert(missing.getMessage.contains("v99"))
+    // a config change rewrites every bucket under a new fingerprint: the
+    // old snapshot's data is gone in the emulation, so serving it would be
+    // silent corruption — readAt must refuse
+    CheckpointedRun.run(spark, turns, out, nBuckets,
+      filterCfg = graft.quality.FilterConfig(minChars = 7))
+    val stale = intercept[IllegalArgumentException] {
+      CheckpointedRun.readAt(spark, out, 1)
+    }
+    assert(stale.getMessage.contains("fingerprint"))
+  }
+
   test("1024-bucket layout: lineage CollectMetrics stays O(1) in bucket count") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 30, megaTurns = 0)
