@@ -131,6 +131,32 @@ object SparkEntry {
         p
       })
 
+  /** Per-(SparkContext, input) three-snapshot checkpoint tree for the
+    * time-travel read (q108): full run (v1), simulated two-bucket loss (v2,
+    * the CheckpointSpec scenario), resume (v3). Staged once like
+    * [[ivfIndexPath]] — the scenario is input preparation (q31 already
+    * times the checkpointed run itself); the operator under test is the
+    * snapshot READ. */
+  private val snapshotMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def snapshotTree(s: SparkSession, dir: String): String =
+    snapshotMemo.computeIfAbsent(
+      s.sparkContext.applicationId + "|" + dir,
+      _ => {
+        val out = scratchPath(s, "q108_" + sanitize(dir))
+        val hconf = s.sparkContext.hadoopConfiguration
+        val hp = new org.apache.hadoop.fs.Path(out)
+        val fs = hp.getFileSystem(hconf)
+        if (fs.exists(hp)) fs.delete(hp, true)
+        val turns = synthTurns(s, dir)
+        graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v1
+        val m = graft.run.CheckpointedRun.readManifest(out, hconf)
+        graft.run.CheckpointedRun.writeManifest(
+          out, m.filterNot(e => Set(2, 5)(e.bucket)), hconf)        // v2
+        graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v3
+        out
+      })
+
   /** Words = \S+ runs after trim; 0 for blank/null. Empty tokens filtered
     * (Spark trim strips only 0x20, so tab/newline-led text would otherwise
     * count a phantom leading token — Python split drops them). The oracle
@@ -1582,18 +1608,9 @@ object SparkEntry {
     // Oracle: the committed flagship-verdict golden joined to the committed
     // 16-bucket conv_id→bucket map, minus the lost buckets.
     "q108_time_travel" -> ((s, dir) => {
-      val out = scratchPath(s, "q108_" + sanitize(dir))
-      val hconf = s.sparkContext.hadoopConfiguration
-      val hp = new org.apache.hadoop.fs.Path(out)
-      val fs = hp.getFileSystem(hconf)
-      if (fs.exists(hp)) fs.delete(hp, true)
-      val turns = synthTurns(s, dir)
-      graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v1
-      val m = graft.run.CheckpointedRun.readManifest(out, hconf)
-      graft.run.CheckpointedRun.writeManifest(
-        out, m.filterNot(e => Set(2, 5)(e.bucket)), hconf)        // v2
-      graft.run.CheckpointedRun.run(s, turns, out, nBuckets = 16) // v3
-      graft.run.CheckpointedRun.readAt(s, out, 2, hconf)
+      val out = snapshotTree(s, dir)
+      graft.run.CheckpointedRun.readAt(s, out, 2,
+        s.sparkContext.hadoopConfiguration)
         .select(col("conv_id"), col("turn_idx"), col("keep"))
         .orderBy("conv_id", "turn_idx")
     })
