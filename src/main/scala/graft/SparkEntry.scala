@@ -1613,6 +1613,19 @@ object SparkEntry {
         s.sparkContext.hadoopConfiguration)
         .select(col("conv_id"), col("turn_idx"), col("keep"))
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Incremental snapshot scan (the Iceberg incremental-append read, the
+    // 100-TB downstream-consumer pattern): rows ADDED between the truncated
+    // v2 and the resumed v3 = exactly the two recomputed buckets, served
+    // through the same partition-pruned guarded read as q108 — a consumer
+    // processes the resume's delta without re-scanning the table.
+    "q109_incremental_scan" -> ((s, dir) => {
+      val out = snapshotTree(s, dir)
+      graft.run.CheckpointedRun.readChangedBetween(s, out, 2, 3,
+        s.sparkContext.hadoopConfiguration)
+        .select(col("conv_id"), col("turn_idx"), col("keep"))
+        .orderBy("conv_id", "turn_idx")
     })
   )
 
@@ -2377,6 +2390,14 @@ object SparkEntry {
            FROM read_parquet('$golden/turns_sf001_golden.parquet') t
            JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id)
            WHERE b.bucket NOT IN (2, 5)
+           ORDER BY t.conv_id, t.turn_idx""",
+      // q109: the v2->v3 delta is exactly the two buckets the resume
+      // recommitted — the complement of q108's membership
+      "q109_incremental_scan" ->
+        s"""SELECT t.conv_id, t.turn_idx, t.keep
+           FROM read_parquet('$golden/turns_sf001_golden.parquet') t
+           JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id)
+           WHERE b.bucket IN (2, 5)
            ORDER BY t.conv_id, t.turn_idx""",
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)

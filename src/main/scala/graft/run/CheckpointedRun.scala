@@ -199,10 +199,59 @@ object CheckpointedRun {
     require(entries.nonEmpty,
       s"snapshot v$version does not exist (or is empty) under $out — " +
         s"committed versions: ${snapshots(out, conf).mkString(",")}")
+    readBuckets(spark, out, entries, s"snapshot v$version", conf)
+  }
+
+  /** Incremental scan: the rows ADDED between two snapshot versions — the
+    * Iceberg incremental-append read, and the 100-TB downstream-consumer
+    * pattern (process only the buckets a resume/commit added since the last
+    * consumed snapshot, never re-scan the table). A bucket counts as added
+    * when `to`'s manifest carries a (bucket, fingerprint) pair absent from
+    * `from`'s; a bucket recommitted under the SAME fingerprint is excluded
+    * by the determinism invariant (same fingerprint ⇒ byte-identical
+    * contents — the resume invariant CheckpointSpec pins), so consumers
+    * never double-process a crash-recomputed bucket. May be empty (e.g.
+    * a truncation-only step); an empty diff returns an empty DataFrame
+    * with the table schema rather than failing. */
+  def readChangedBetween(
+      spark: SparkSession,
+      out: String,
+      fromVersion: Int,
+      toVersion: Int,
+      conf: Configuration = new Configuration()): DataFrame = {
+    require(fromVersion < toVersion,
+      s"fromVersion must precede toVersion (got v$fromVersion -> v$toVersion)")
+    val fromEntries = manifestAt(out, fromVersion, conf)
+    val toEntries = manifestAt(out, toVersion, conf)
+    require(fromEntries.nonEmpty,
+      s"snapshot v$fromVersion does not exist (or is empty) under $out — " +
+        s"committed versions: ${snapshots(out, conf).mkString(",")}")
+    require(toEntries.nonEmpty,
+      s"snapshot v$toVersion does not exist (or is empty) under $out — " +
+        s"committed versions: ${snapshots(out, conf).mkString(",")}")
+    val fromSet = fromEntries.map(e => (e.bucket, e.fingerprint)).toSet
+    val added = toEntries.filterNot(e => fromSet((e.bucket, e.fingerprint)))
+    if (added.isEmpty)
+      spark.read.parquet(out).where(lit(false))
+    else
+      readBuckets(spark, out, added,
+        s"incremental v$fromVersion->v$toVersion", conf)
+  }
+
+  /** Guarded partition-pruned read of a manifest entry list: every served
+    * bucket must still carry the entry's fingerprint in the CURRENT
+    * manifest — the emulation rewrites resumed buckets in place, so a
+    * cross-fingerprint read would silently serve another config's rows. */
+  private def readBuckets(
+      spark: SparkSession,
+      out: String,
+      entries: Seq[BucketEntry],
+      what: String,
+      conf: Configuration): DataFrame = {
     val current = readManifest(out, conf).map(e => e.bucket -> e.fingerprint).toMap
     val stale = entries.filter(e => !current.get(e.bucket).contains(e.fingerprint))
     require(stale.isEmpty,
-      s"snapshot v$version is no longer readable: buckets " +
+      s"$what is no longer readable: buckets " +
         s"${stale.map(_.bucket).sorted.mkString(",")} were rewritten under a " +
         "different config fingerprint since that snapshot committed")
     spark.read.parquet(out)

@@ -191,6 +191,46 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     assert(CheckpointedRun.readAt(spark, out, latest).count() === full.size)
   }
 
+  test("readChangedBetween: incremental scan returns exactly the resume delta") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(e => Set(2, 5)(e.bucket)))
+    Seq(2, 5).foreach { b =>
+      Files.walk(Paths.get(out, s"bucket=$b"))
+        .iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+
+    // v2 -> v3: exactly the two recomputed buckets
+    val delta = CheckpointedRun.readChangedBetween(spark, out, 2, 3)
+    val deltaBuckets = delta.select("bucket").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(deltaBuckets === Seq(2, 5))
+    assert(delta.count() ===
+      CheckpointedRun.manifestAt(out, 3)
+        .filter(e => Set(2, 5)(e.bucket)).map(_.rows).sum)
+    // pruned, not post-filtered
+    val plan = delta.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+
+    // v1 -> v2 (truncation only): nothing added, empty frame, table schema
+    val empty = CheckpointedRun.readChangedBetween(spark, out, 1, 2)
+    assert(empty.count() === 0)
+    assert(empty.columns.contains("conv_id"))
+
+    // v1 -> v3: buckets 2/5 were recommitted under the SAME fingerprint,
+    // so the determinism invariant excludes them — a consumer at v1 has
+    // nothing new to process after a crash-resume
+    assert(CheckpointedRun.readChangedBetween(spark, out, 1, 3).count() === 0)
+
+    // ordering guard
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.readChangedBetween(spark, out, 3, 2)
+    }
+  }
+
   test("readAt: nonexistent version and cross-config snapshots fail loudly") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 40, megaTurns = 0)
