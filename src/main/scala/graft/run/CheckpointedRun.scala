@@ -175,7 +175,11 @@ object CheckpointedRun {
   }
 
   /** DATA time travel: the output table as of a committed snapshot version —
-    * the Iceberg `VERSION AS OF` read on the manifest emulation. Reads ONLY
+    * the Iceberg `VERSION AS OF` read on the manifest emulation, and the
+    * scale analog of the reference's restore surface (its per-document
+    * undo/redo stack of full-text snapshots, src/CorpusAid.py:541-567, and
+    * its `.bak` pre-overwrite backup, src/CorpusAid.py:2398-2402 — SURVEY
+    * §2.2 maps both to "table snapshot/version retained"). Reads ONLY
     * the bucket directories that snapshot's manifest lists (the `bucket=NN`
     * partition filter prunes at planning time — a v1-of-v100 read over a
     * 100-TB table scans v1's buckets, not the table), so the cost is
