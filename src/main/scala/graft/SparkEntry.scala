@@ -1626,6 +1626,16 @@ object SparkEntry {
         s.sparkContext.hadoopConfiguration)
         .select(col("conv_id"), col("turn_idx"), col("keep"))
         .orderBy("conv_id", "turn_idx")
+    }),
+
+    // Snapshot history (the Iceberg `.snapshots` metadata table): one row
+    // per committed version with bucket/rows/kept totals — metadata-scale
+    // (manifests are O(buckets)). Oracle derives all three versions' totals
+    // from the same goldens as q108/q109: v1/v3 sum the full corpus, v2
+    // sums it minus the two lost buckets.
+    "q110_snapshot_history" -> ((s, dir) => {
+      graft.run.CheckpointedRun.history(s, snapshotTree(s, dir))
+        .orderBy("version")
     })
   )
 
@@ -2399,6 +2409,25 @@ object SparkEntry {
            JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id)
            WHERE b.bucket IN (2, 5)
            ORDER BY t.conv_id, t.turn_idx""",
+      // q110: snapshot history totals re-derived from the goldens — v1/v3
+      // sum the full corpus, v2 sums it minus the lost buckets {2,5}
+      "q110_snapshot_history" ->
+        s"""WITH bt AS (
+             SELECT b.bucket, t.keep
+             FROM read_parquet('$golden/turns_sf001_golden.parquet') t
+             JOIN read_parquet('$golden/buckets_sf001.parquet') b USING (conv_id))
+           SELECT 1 AS version, 16 AS n_buckets, count(*) AS n_rows,
+             cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+           FROM bt
+           UNION ALL
+           SELECT 2, 14, count(*),
+             cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           FROM bt WHERE bucket NOT IN (2, 5)
+           UNION ALL
+           SELECT 3, 16, count(*),
+             cast(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+           FROM bt
+           ORDER BY version""",
       // q93: committed golden from the independent Python chain replay
       // (tools/gen_pseudo_golden.py over the same raw dump)
       "q93_pseudo_rewrite" ->

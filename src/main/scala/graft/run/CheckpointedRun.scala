@@ -242,6 +242,41 @@ object CheckpointedRun {
         s"incremental v$fromVersion->v$toVersion", conf)
   }
 
+  /** Snapshot history as a DataFrame — the Iceberg `.snapshots` metadata
+    * table analog: one row per committed version with its bucket count and
+    * row/kept totals. Metadata-scale by construction (manifests are
+    * O(buckets), never O(rows)), so the driver-side fold is the right
+    * plan at any table size. */
+  def history(spark: SparkSession, out: String): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    snapshots(out, conf).map { v =>
+      val es = manifestAt(out, v, conf)
+      (v, es.size, es.map(_.rows).sum, es.map(_.kept).sum)
+    }.toDF("version", "n_buckets", "n_rows", "n_kept")
+  }
+
+  /** Snapshot retention — the Iceberg `expireSnapshots` maintenance analog:
+    * drop all but the newest `keepLast` snapshot versions. Only the
+    * numbered history JSONs are removed (the emulation's snapshots share
+    * the live data files, so there are no orphan data files to vacuum);
+    * the current manifest is never touched. After expiry, `readAt` /
+    * `readChangedBetween` on a dropped version fail with the standard
+    * loud does-not-exist error. Returns the versions removed. */
+  def expireSnapshots(
+      out: String,
+      keepLast: Int,
+      conf: Configuration = new Configuration()): Seq[Int] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    val all = snapshots(out, conf)
+    val drop = all.dropRight(keepLast)
+    val (fs, base) = hfs(out, conf)
+    drop.foreach { v =>
+      fs.delete(new HPath(new HPath(base, "_graft_snapshots"), f"v$v%05d.json"), false)
+    }
+    drop
+  }
+
   /** Guarded partition-pruned read of a manifest entry list: every served
     * bucket must still carry the entry's fingerprint in the CURRENT
     * manifest — the emulation rewrites resumed buckets in place, so a

@@ -231,6 +231,43 @@ class CheckpointSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("history + expireSnapshots: metadata table and retention maintenance") {
+    val out = freshDir()
+    val turns = TranscriptGen.dataset(spark, 60, megaTurns = 0)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+    val manifest = CheckpointedRun.readManifest(out)
+    CheckpointedRun.writeManifest(out, manifest.filterNot(_.bucket == 3))
+    Files.walk(Paths.get(out, "bucket=3"))
+      .iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    CheckpointedRun.run(spark, turns, out, nBuckets)
+
+    // .snapshots metadata table: totals per version, metadata-scale
+    val h = CheckpointedRun.history(spark, out)
+      .orderBy("version")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(h.map(_._1).toSeq === Seq(1, 2, 3))
+    assert(h(0)._2 === nBuckets && h(2)._2 === nBuckets)
+    assert(h(1)._2 === nBuckets - 1)
+    assert(h(0)._3 === turns.count() && h(2)._3 === h(0)._3)
+    assert(h(1)._3 < h(0)._3)
+    assert(h(0)._4 === h(2)._4) // determinism: kept totals match across resume
+
+    // retention: keep only the newest snapshot
+    val dropped = CheckpointedRun.expireSnapshots(out, keepLast = 1)
+    assert(dropped === Seq(1, 2))
+    assert(CheckpointedRun.snapshots(out) === Seq(3))
+    // an expired version is gone with the standard loud error; the
+    // surviving one still reads, and the live data is untouched
+    val gone = intercept[IllegalArgumentException] {
+      CheckpointedRun.readAt(spark, out, 2)
+    }
+    assert(gone.getMessage.contains("v2"))
+    assert(CheckpointedRun.readAt(spark, out, 3).count() === turns.count())
+    intercept[IllegalArgumentException] {
+      CheckpointedRun.expireSnapshots(out, keepLast = 0)
+    }
+  }
+
   test("readAt: nonexistent version and cross-config snapshots fail loudly") {
     val out = freshDir()
     val turns = TranscriptGen.dataset(spark, 40, megaTurns = 0)
