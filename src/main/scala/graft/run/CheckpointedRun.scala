@@ -252,6 +252,12 @@ object CheckpointedRun {
     val conf = spark.sparkContext.hadoopConfiguration
     snapshots(out, conf).map { v =>
       val es = manifestAt(out, v, conf)
+      // loud like readAt: a listed version whose JSON vanished (concurrent
+      // expire) or no longer parses must not surface as a plausible
+      // 0-bucket/0-row metadata row
+      require(es.nonEmpty,
+        s"snapshot v$v is listed under $out but its manifest is missing or " +
+          "unparseable (expired concurrently, or corrupt)")
       (v, es.size, es.map(_.rows).sum, es.map(_.kept).sum)
     }.toDF("version", "n_buckets", "n_rows", "n_kept")
   }
@@ -272,7 +278,12 @@ object CheckpointedRun {
     val drop = all.dropRight(keepLast)
     val (fs, base) = hfs(out, conf)
     drop.foreach { v =>
-      fs.delete(new HPath(new HPath(base, "_graft_snapshots"), f"v$v%05d.json"), false)
+      val p = new HPath(new HPath(base, "_graft_snapshots"), f"v$v%05d.json")
+      // some FileSystem implementations signal failure via `false` rather
+      // than throwing — a silently-surviving "expired" snapshot would keep
+      // serving readAt, contradicting this method's contract
+      require(fs.delete(p, false) || !fs.exists(p),
+        s"failed to expire snapshot v$v ($p still exists)")
     }
     drop
   }
