@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-6 optimization harness (guide §1.4): noop-sink isolation of the
+  * STAGES inside the expensive composite queries, so optimization targets
+  * the right stage. NOT part of the frozen driver contract (`graft.Bench`
+  * is the only harness the driver reads); numbers from here are cited in
+  * OPTIMIZATION_r06.md only.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... SPARK_GRAFT_CPUS=32 \
+  *          sbt "runMain graft.BenchExtra [stagePrefix,...]"
+  * Emits one JSON line {"stages":{name:sec,...}} (best of 2 reps).
+  */
+object BenchExtra {
+
+  def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val only = args.headOption.map(_.split(',').map(_.trim).toSeq)
+    def selected(name: String): Boolean = only.forall(_.exists(name.startsWith))
+    val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap(_.toIntOption).getOrElse(2)
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def turnsMs(): DataFrame = SparkEntry.synthTurns(spark, sfDir).toDF()
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("tool"), unix_millis(col("ts")).as("ts_ms"))
+
+    // stage catalog: name -> () => DataFrame (built fresh per rep)
+    val stages: Seq[(String, () => DataFrame)] = Seq(
+      // --- q91/q93/q94 chain pieces -----------------------------------
+      "pseudo_entities" -> (() =>
+        graft.transcript.Pseudonymize.entities(spark, turnsMs())),
+      "pseudo_rewrite" -> (() =>
+        graft.transcript.Pseudonymize.rewrite(spark, turnsMs())),
+      // --- q94 stage isolation (raw turns stand in for scrubbed text:
+      // same row count, same string sizes to first order) --------------
+      "sft_turndedup_raw" -> (() =>
+        graft.transcript.TurnDedup.dedup(spark, turnsMs())),
+      "sft_convgate_raw" -> (() =>
+        graft.transcript.ConvGate.signals(spark, turnsMs())),
+      "sft_assemble_raw" -> (() =>
+        graft.transcript.ConvOps.assemble(spark, turnsMs())),
+      "sft_manifest" -> (() =>
+        graft.transcript.SftPipeline.manifest(spark, turnsMs())),
+      // --- q106 pieces -------------------------------------------------
+      "branch_families" -> (() =>
+        graft.transcript.BranchFamilies.families(spark,
+          graft.transcript.BranchFamilies.inject(turnsMs()))),
+      // --- q90 ---------------------------------------------------------
+      "turndedup_ordered" -> (() =>
+        graft.transcript.TurnDedup.dedup(spark, turnsMs())
+          .orderBy("conv_id", "turn_idx")),
+      // --- q74 ---------------------------------------------------------
+      "line_dedup" -> (() => SparkEntry.queries("q74_line_dedup")(spark, sfDir)),
+      "line_wrap_only" -> (() => {
+        val d = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val arr = split(col("text"), " ")
+        d.select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(0), size(arr) - 1, lit(4)),
+              i => array_join(slice(arr, i + 1, lit(4)), " ")),
+            "\n").as("text"))
+      }),
+      // --- q103 --------------------------------------------------------
+      "conv_neardup" -> (() =>
+        graft.transcript.ConvNearDup.pairs(spark,
+          graft.transcript.ConvNearDup.inject(turnsMs()))),
+      // --- q83 stages --------------------------------------------------
+      "web_q81" -> (() => SparkEntry.queries("q81_c4_line_filters")(spark, sfDir)),
+      "web_q78" -> (() => SparkEntry.queries("q78_repetition")(spark, sfDir)),
+      "web_q79" -> (() => SparkEntry.queries("q79_compress_ratio")(spark, sfDir)),
+      "web_q70" -> (() => SparkEntry.queries("q70_ccnet_buckets")(spark, sfDir)),
+      "web_q77" -> (() => SparkEntry.queries("q77_dsir_select")(spark, sfDir)),
+      "web_full" -> (() => SparkEntry.queries("q83_webclean_manifest")(spark, sfDir)),
+      // --- q107 --------------------------------------------------------
+      "quote_leak" -> (() => SparkEntry.queries("q107_quote_leak")(spark, sfDir)),
+      // --- q96 pack stage on a fake manifest-shaped input --------------
+      "sft_pack_full" -> (() => SparkEntry.queries("q96_sft_pack")(spark, sfDir))
+    )
+
+    // warmup at the smallest sf is unnecessary here — stages are timed
+    // best-of-N with rep 1 as the warm rep when N >= 2
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    stages.filter(s => selected(s._1)).foreach { case (name, mk) =>
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < reps) {
+        val t0 = System.nanoTime()
+        try { force(mk()) } catch {
+          case e: Throwable => System.err.println(s"[bx] $name FAILED: $e")
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        graft.run.Materialize.releaseAll(spark)
+        System.gc()
+        rep += 1
+      }
+      results(name) = best
+      System.err.println(f"[bx] $name%-24s $best%7.3f s")
+    }
+    val js = results.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+    println(s"""{"stages":$js,"sf":"$sfDir","cpus":$cpus}""")
+    spark.stop()
+  }
+}

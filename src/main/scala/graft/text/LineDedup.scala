@@ -35,6 +35,17 @@ import graft.run.Materialize
   */
 object LineDedup {
 
+  /** Entry budget for broadcasting the duplicate-hash set in pass 2 (8-byte
+    * keys → ≤ ~32 MB relation): below it the semi-join broadcasts and
+    * unique lines never shuffle at all; above it the old shuffle tier runs
+    * (hash-led keys, AQE-skew-splittable). Probe is a count on the pinned
+    * pass-1 output (the TurnDedup/KnScorer probe-then-degrade pattern). */
+  val DupHashBroadcastMax: Long = 4L << 20
+
+  /** Row budget for broadcasting the per-doc drop-position table in pass 3
+    * (docs that lose at least one line). */
+  val DropSetBroadcastMax: Long = 2L << 20
+
   def dedup(
       spark: SparkSession,
       docs: DataFrame,
@@ -55,13 +66,17 @@ object LineDedup {
         .agg(count(lit(1)).as("c"))
         .where(col("c") > 1)
         .select("h"))
+    val semiSide =
+      if (dupHashes.count() <= DupHashBroadcastMax) broadcast(dupHashes)
+      else dupHashes.hint("shuffle_hash")
 
-    // pass 2: only the duplicate mass shuffles as strings
-    val candidates = lines
-      .where(length(col("line")) >= minLineLen)
-      .join(dupHashes.hint("shuffle_hash"),
-        xxhash64(col("line")) === col("h"), "left_semi")
-    val decisions = candidates
+    // pass 2: only the duplicate (+ hash-collision) mass shuffles as
+    // strings; pinned — read twice (decision agg + instance join)
+    val mass = Materialize.pin(
+      lines
+        .where(length(col("line")) >= minLineLen)
+        .join(semiSide, xxhash64(col("line")) === col("h"), "left_semi"))
+    val decisions = mass
       .groupBy("line")
       .agg(count(lit(1)).as("n_occ"),
         min(struct(col(idCol), col("pos"))).as("keeper"))
@@ -70,37 +85,36 @@ object LineDedup {
         col("keeper").getField(idCol).as("_kid"),
         col("keeper").getField("pos").as("_kpos"))
 
-    // pass 3: per-instance keep decision + document reassembly
-    val kept = lines
-      .join(decisions, col("line") === col("_dline"), "left")
-      .where(col("_dline").isNull ||
-        (col(idCol) === col("_kid") && col("pos") === col("_kpos")))
-      .select(col(idCol), col("pos"), col("line"))
-    val rebuilt = kept
-      .groupBy(idCol)
-      .agg(
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("cleaned"),
-        // removed = original line count − kept line count, via max pos + 1
-        // of the ORIGINAL doc minus kept count… computed below via join
-        count(lit(1)).as("_n_kept"))
-
-    val nLines = docs
-      .where(col(textCol).isNotNull)
-      .select(col(idCol),
-        (size(split(col(textCol), "\n", -1))).as("_n_lines"))
+    // pass 3 (r6 restructure — guide §8 "decide with small rows, move big
+    // rows once"... here ZERO times): instead of re-joining every line
+    // instance against the decisions and reassembling documents through a
+    // corpus-wide string shuffle (the old groupBy(idCol) + array_sort
+    // rebuild), compute only the DROPPED (id, pos) instances — bounded by
+    // the duplicate mass — fold them to one position-set row per affected
+    // doc, and rebuild each document IN PLACE with a per-row
+    // filter-by-index over its own split. Document text never exchanges;
+    // the only string shuffle anywhere is the duplicate mass in pass 2.
+    val drops = mass
+      .join(decisions, col("line") === col("_dline"))
+      .where(!(col(idCol) === col("_kid") && col("pos") === col("_kpos")))
+      .select(col(idCol), col("pos"))
+    val dropSets = Materialize.pin(
+      drops.groupBy(idCol)
+        .agg(collect_set(col("pos")).as("_droppos")))
+    val dropSide =
+      if (dropSets.count() <= DropSetBroadcastMax) broadcast(dropSets)
+      else dropSets
     Materialize.pin(
-      docs.select(col(idCol))
-        .join(nLines, Seq(idCol), "left")
-        .join(rebuilt, Seq(idCol), "left")
+      docs.select(col(idCol), col(textCol))
+        .join(dropSide, Seq(idCol), "left")
         .select(col(idCol),
-          // text was null -> null; every line removed -> empty string
-          when(col("_n_lines").isNull, lit(null))
-            .otherwise(coalesce(col("cleaned"), lit(""))).as("cleaned"),
-          coalesce(col("_n_lines") - coalesce(col("_n_kept"), lit(0L)),
-            lit(0L)).cast("int").as("n_lines_removed")))
+          when(col(textCol).isNull, lit(null))
+            .when(col("_droppos").isNull, col(textCol))
+            .otherwise(array_join(
+              filter(split(col(textCol), "\n", -1),
+                (l, i) => !array_contains(col("_droppos"), i)),
+              "\n")).as("cleaned"),
+          coalesce(size(col("_droppos")), lit(0)).cast("int")
+            .as("n_lines_removed")))
   }
 }

@@ -27,17 +27,18 @@ import org.apache.spark.sql.functions._
   *     length for verbatim re-ingests);
   *   - max_conv      the lexicographically last member.
   *
-  * Plan shape: the prefix signature groups on xxhash64 PER-TURN HASHES
-  * (h0,h1,h2) — texts leave the scan once, as 8-byte longs, and every
-  * exchange (signature rollup, family rollup, membership join, depth
-  * rollup) moves fixed-width keys only. The family table is tiny
-  * (families are rare relative to the corpus) so the membership join
-  * broadcasts. At 10^12 turns the depth pass joins the full corpus to
-  * family membership — a broadcast semi-join gate keeps the big side's
-  * shuffle at zero. 64-bit prefix-hash collisions would merge unrelated
-  * families (~n²/2⁶⁴); a 100-TB deployment keys on the 128-bit pair
-  * (xxhash64(text), xxhash64(reverse(text))) — the q06 exact-dedup
-  * hash-widening pattern.
+  * Plan shape: the prefix signature groups on PER-TURN 128-BIT hash pairs
+  * (xxhash64(text), xxhash64(reverse(text)) — the q06 exact-dedup
+  * hash-widening pattern, so family identity survives 10^12-turn birthday
+  * collisions) — texts leave the scan once, as 16 bytes of longs, and
+  * every exchange (signature rollup, family rollup, membership join,
+  * depth rollup) moves fixed-width keys only. The family and membership
+  * tables are usually tiny (families are rare relative to the corpus) so
+  * the joins broadcast UNDER A PROBED ROW BUDGET ([[BroadcastMaxRows]]);
+  * a regeneration-heavy corpus that exceeds it degrades to plain
+  * fixed-width-key shuffle joins instead of building a multi-GB broadcast
+  * on the driver. Shared stages (prefix table, family table) are pinned,
+  * so each is computed once per run.
   *
   * The generator draws turns from fragment pools, so 3-turn prefix
   * collisions are vanishingly rare naturally: [[inject]] plants
@@ -66,47 +67,84 @@ object BranchFamilies {
         .otherwise(col("text")))
   }
 
+  /** Row budget for broadcasting the family / membership tables (~80-byte
+    * rows → ≤ ~80 MB relation each). Under it the depth pass keeps the big
+    * side's shuffle at zero (broadcast joins); over it the hints drop and
+    * the equi-joins shuffle on their fixed-width keys — the r4-verdict
+    * degrade tier (a regeneration-heavy corpus where branch families are
+    * COMMON must not build a multi-GB broadcast on the driver). The probe
+    * is a count on the pinned table (the KnScorer pattern). */
+  val BroadcastMaxRows: Long = 1L << 20
+
   def families(spark: SparkSession, turns: DataFrame): DataFrame = {
-    val t = turns.select(col("conv_id"), col("turn_idx"),
-      xxhash64(col("text")).as("th"))
+    import graft.run.Materialize
+    // 128-bit per-turn keys (r4-verdict task: family identity must survive
+    // 10^12-turn birthday collisions): the (xxhash64(text),
+    // xxhash64(reverse(text))) pair — the q06 hash-widening pattern. The
+    // oracle groups on RAW text, so collisions the pair still cannot
+    // produce are the only way results could differ.
+    val base = turns.select("conv_id", "turn_idx", "text")
+    def hashPair(df: DataFrame, extra: Seq[String]): DataFrame =
+      df.select((Seq(col("conv_id"), col("turn_idx"),
+        xxhash64(col("text")).as("th"),
+        xxhash64(reverse(col("text"))).as("tr")) ++ extra.map(col)): _*)
 
-    val pref = t.filter(col("turn_idx") < PrefixDepth)
-      .groupBy("conv_id")
-      .agg(
-        count(lit(1)).as("pref_len"),
-        coalesce(max(when(col("turn_idx") === 0, col("th"))), lit(-1L))
-          .as("h0"),
-        coalesce(max(when(col("turn_idx") === 1, col("th"))), lit(-1L))
-          .as("h1"),
-        coalesce(max(when(col("turn_idx") === 2, col("th"))), lit(-1L))
-          .as("h2"))
+    def keyCol(i: Int, c: String) = coalesce(
+      max(when(col("turn_idx") === i, col(c))), lit(-1L))
+    // pinned: read by both the family rollup and the membership join (the
+    // old shape re-ran the whole prefix aggregation for each)
+    val pref = Materialize.pin(
+      hashPair(base.filter(col("turn_idx") < PrefixDepth), Nil)
+        .groupBy("conv_id")
+        .agg(
+          count(lit(1)).as("pref_len"),
+          keyCol(0, "th").as("h0"), keyCol(1, "th").as("h1"),
+          keyCol(2, "th").as("h2"),
+          keyCol(0, "tr").as("g0"), keyCol(1, "tr").as("g1"),
+          keyCol(2, "tr").as("g2")))
 
-    val fam = pref.groupBy("h0", "h1", "h2", "pref_len")
+    val famKeys = Seq("h0", "h1", "h2", "g0", "g1", "g2", "pref_len")
+    val fam = pref.groupBy(famKeys.map(col): _*)
       .agg(
         min(col("conv_id")).as("family_id"),
         count(lit(1)).as("n_convs"),
         max(col("conv_id")).as("max_conv"))
       .filter(col("n_convs") >= 2L)
+    // counting fam re-runs only the tiny rollup over the pinned prefix
+    // table, so no second pin is needed
+    val famSide =
+      if (fam.count() <= BroadcastMaxRows) broadcast(fam) else fam
 
-    val memb = pref
-      .join(broadcast(fam), Seq("h0", "h1", "h2", "pref_len"))
-      .select(col("conv_id"), col("family_id"), col("n_convs"))
+    // family attributes RIDE the membership table so the family rollup is
+    // never joined back at the end (the old plan's extra join + pin)
+    val memb = Materialize.pin(
+      pref.join(famSide, famKeys)
+        .select(col("conv_id"), col("family_id"), col("n_convs"),
+          col("pref_len"), col("max_conv")))
+    val membSide =
+      if (memb.count() <= BroadcastMaxRows) broadcast(memb) else memb
 
-    val depth = t
-      .join(broadcast(memb), "conv_id")
+    // depth pass: join FIRST on the raw trace, hash after — member turns
+    // only pay the reverse+hash, non-members never do
+    hashPair(base.join(membSide, "conv_id"),
+      Seq("family_id", "n_convs", "pref_len", "max_conv"))
       .groupBy("family_id", "turn_idx")
       .agg(
         count(lit(1)).as("n_present"),
-        count_distinct(col("th")).as("n_text"),
-        max(col("n_convs")).as("nc"))
+        count_distinct(col("th"), col("tr")).as("n_text"),
+        max(col("n_convs")).as("nc"),
+        max(col("pref_len")).as("pl"),
+        max(col("max_conv")).as("mx"))
       .withColumn("_full",
         col("n_present") === col("nc") && col("n_text") === 1L)
       .groupBy("family_id")
-      .agg(coalesce(
-        min(when(!col("_full"), col("turn_idx"))).cast("long") - 1L,
-        max(col("turn_idx")).cast("long")).as("shared_depth"))
-
-    fam.join(depth, "family_id")
+      .agg(
+        max(col("nc")).as("n_convs"),
+        max(col("pl")).as("pref_len"),
+        coalesce(
+          min(when(!col("_full"), col("turn_idx"))).cast("long") - 1L,
+          max(col("turn_idx")).cast("long")).as("shared_depth"),
+        max(col("mx")).as("max_conv"))
       .select("family_id", "n_convs", "pref_len", "shared_depth", "max_conv")
       .orderBy("family_id")
   }

@@ -31,37 +31,70 @@ import org.apache.spark.sql.functions._
   */
 object SftPipeline {
 
+  /** Row budget for broadcasting the small side of the attach joins (the
+    * duplicate-drop list and the kept-conversation list): ~40-byte rows →
+    * ≤ ~80 MB relation. Above it the joins fall back to shuffles (both are
+    * fixed-key equi-joins — scale-safe without the hints). */
+  val AttachBroadcastMaxRows: Long = 2L << 20
+
   def manifest(
       spark: SparkSession,
       turns: DataFrame,
       ctxTurns: Int = 6
   ): DataFrame = {
-    // 1. scrub first: aliased rewrite, then re-attach the trace columns.
+    import graft.run.Materialize
+
+    // 1. scrub first: aliased rewrite with the trace columns riding the
+    // rewrite's own conv_id join (r6: the former re-attach join of the
+    // rewrite output back to `turns` on (conv_id, turn_idx) shuffled both
+    // 557k-row sides for columns the rewrite could simply pass through).
     // PINNED (Materialize.pin): the regex-chain rewrite is the capstone's
-    // dominant per-row cost and feeds THREE downstream consumers (the
-    // dedup's two passes + the survivor semi-join) — without the pin each
-    // branch would re-run the whole chain (the q59 lesson).
-    val scrubbed = graft.run.Materialize.pin(
-      Pseudonymize.rewrite(spark, turns)
-        .join(turns.select("conv_id", "turn_idx", "role", "tool", "ts_ms"),
-          Seq("conv_id", "turn_idx")))
+    // dominant per-row cost and feeds every downstream stage — without the
+    // pin each branch would re-run the whole chain (the q59 lesson).
+    // The pin is repartitioned on conv_id and sorted on the window keys
+    // BEFORE materializing. localCheckpoint does NOT preserve
+    // outputPartitioning metadata (the pinned scan reports
+    // UnknownPartitioning, so downstream windows still plan an exchange) —
+    // but the PHYSICAL layout still pays off measurably: the conversation
+    // clustering + (conv_id, turn_idx, ts_ms) order make the downstream
+    // exchanges/sorts cheap (nearly-sorted runs), measured ~0.9 s faster
+    // at sf0.1 than pinning the raw join output.
+    val nPart = math.max(
+      spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
+    val scrubbed = Materialize.pin(
+      Pseudonymize.rewrite(spark, turns,
+          passThrough = Seq("role", "tool", "ts_ms"))
+        .repartition(nPart, col("conv_id"))
+        .sortWithinPartitions("conv_id", "turn_idx", "ts_ms"))
 
-    // 2. cross-conversation turn dedup on the scrubbed text
-    val verdict = TurnDedup.dedup(spark,
+    // 2. cross-conversation turn dedup on the scrubbed text — drop-list
+    // form: the dedup decision is attached by SUBTRACTING the (small)
+    // duplicate mass instead of semi-joining the (corpus-sized) keep set,
+    // so the scrubbed table is never re-shuffled (guide §8: decide on
+    // small rows, never move the payload again). Broadcast under a row
+    // budget; above it the anti-join shuffles (fixed-width keys).
+    val drops = Materialize.pin(TurnDedup.drops(spark,
       scrubbed.select(col("conv_id"), col("turn_idx"),
-        col("scrubbed").as("text")))
+        col("scrubbed").as("text"))))
+    val dropsSide =
+      if (drops.count() <= AttachBroadcastMaxRows) broadcast(drops) else drops
     val survivors = scrubbed
-      .join(verdict.where(col("keep")).select("conv_id", "turn_idx"),
-        Seq("conv_id", "turn_idx"), "left_semi")
+      .join(dropsSide, Seq("conv_id", "turn_idx"), "left_anti")
 
-    // 3. conversation gate over the surviving trace
-    val kept = ConvGate.signals(spark, survivors)
-      .where(col("keep")).select("conv_id")
+    // 3. conversation gate over the surviving trace; pinned so the gate
+    // verdict is computed exactly once (leaving it lazy duplicates the
+    // whole survivors subtree inside the final plan — measured 1.7 s
+    // slower at sf0.1 than the pin + probed broadcast)
+    val kept = Materialize.pin(ConvGate.signals(spark, survivors)
+      .where(col("keep")).select("conv_id"))
+    val keptSide =
+      if (kept.count() <= AttachBroadcastMaxRows) broadcast(kept) else kept
 
     // 4. bounded context assembly from scrubbed text, kept convs only
     ConvOps.assemble(spark,
       survivors
-        .join(kept, Seq("conv_id"), "left_semi")
+        .join(keptSide, Seq("conv_id"), "left_semi")
         .select(col("conv_id"), col("turn_idx"), col("role"),
           col("scrubbed").as("text"), col("tool"), col("ts_ms")),
       ctxTurns)

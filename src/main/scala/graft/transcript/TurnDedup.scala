@@ -32,6 +32,16 @@ import graft.run.Materialize
   */
 object TurnDedup {
 
+  /** Entry budget for broadcasting the duplicate-hash set in pass 2 (8-byte
+    * keys → ≤ ~32 MB broadcast relation): below it the semi-join broadcasts
+    * and UNIQUE turn texts never shuffle AT ALL (r6: the former unconditional
+    * `shuffle_hash` hint exchanged every candidate string by hash — the
+    * exact full-corpus string shuffle the two-pass design exists to avoid);
+    * above it the shuffle tier is the old plan, still hash-led. The count
+    * probe is O(1) on the pinned pass-1 output (the KnScorer
+    * probe-then-degrade pattern). */
+  val DupHashBroadcastMax: Long = 4L << 20
+
   def dedup(
       spark: SparkSession,
       turns: DataFrame,
@@ -50,7 +60,7 @@ object TurnDedup {
 
     // pass 2: only the duplicate mass shuffles as strings
     val decisions = cand
-      .join(dupHashes.hint("shuffle_hash"),
+      .join(semiSide(dupHashes),
         xxhash64(col("text")) === col("h"), "left_semi")
       .groupBy("text")
       .agg(count(lit(1)).as("_n_occ"),
@@ -73,5 +83,50 @@ object TurnDedup {
       .withColumn("keep",
         col("keeper_conv") === col("conv_id") &&
           col("keeper_idx") === col("turn_idx"))
+  }
+
+  /** Pass-2 build side under the budget probe: broadcast when the pinned
+    * duplicate-hash set is small (count is metadata-cheap on the pinned
+    * blocks), shuffle tier otherwise — scale-adaptive, never a constant. */
+  private def semiSide(dupHashes: DataFrame): DataFrame =
+    if (dupHashes.count() <= DupHashBroadcastMax) broadcast(dupHashes)
+    else dupHashes.hint("shuffle_hash")
+
+  /** DROPPED turns only — (conv_id, turn_idx) of every non-keeper instance
+    * of a duplicated text. Same passes 1-2 as [[dedup]] (bit-identical
+    * keeper rule), but never materializes the per-turn verdict: the output
+    * is bounded by the DUPLICATE mass, so a caller that only needs to
+    * subtract duplicates (the q94 SFT pipeline) can left-anti-join this
+    * small table (broadcast under AQE) instead of shuffling the whole
+    * corpus through a keep-semi-join. */
+  def drops(
+      spark: SparkSession,
+      turns: DataFrame,
+      minLen: Int = 15
+  ): DataFrame = {
+    val cand = turns.select("conv_id", "turn_idx", "text")
+      .where(length(col("text")) >= minLen)
+    val dupHashes = Materialize.pin(
+      cand
+        .groupBy(xxhash64(col("text")).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+        .select("h"))
+    // duplicate + hash-collision mass only (small); pinned because it is
+    // read twice (decision agg + instance join)
+    val mass = Materialize.pin(
+      cand.join(semiSide(dupHashes),
+        xxhash64(col("text")) === col("h"), "left_semi"))
+    val decisions = mass
+      .groupBy("text")
+      .agg(count(lit(1)).as("_n_occ"),
+        min(struct(col("conv_id"), col("turn_idx"))).as("keeper"))
+      .where(col("_n_occ") > 1)
+      .select(col("text").as("_dtext"), col("keeper"))
+    mass
+      .join(decisions, col("text") === col("_dtext"))
+      .where(!(col("keeper").getField("conv_id") === col("conv_id") &&
+        col("keeper").getField("turn_idx") === col("turn_idx")))
+      .select("conv_id", "turn_idx")
   }
 }
