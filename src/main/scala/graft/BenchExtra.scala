@@ -90,6 +90,38 @@ object BenchExtra {
       "web_full" -> (() => SparkEntry.queries("q83_webclean_manifest")(spark, sfDir)),
       // --- q107 --------------------------------------------------------
       "quote_leak" -> (() => SparkEntry.queries("q107_quote_leak")(spark, sfDir)),
+      // --- q59 stage isolation ----------------------------------------
+      "cap_exact" -> (() => {
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val minIds = d0
+          .groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id")
+        d0.join(minIds, Seq("doc_id"), "left_semi")
+      }),
+      "cap_pairs" -> (() => {
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+        graft.dedup.NgramJaccard.similarPairs(spark,
+          d0.select(col("doc_id").as("id"), col("text")), n = 2, tau = 0.5)
+      }),
+      "cap_substr" -> (() => {
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"))
+        graft.text.SubstrDedup.dedup(spark, d0, "doc_id", "text",
+          graft.text.SubstrDedup.Config(k = 25, minCount = 2), None)
+      }),
+      "cap_full" -> (() => SparkEntry.queries("q59_capstone_manifest")(spark, sfDir)),
+      // --- other heavies -----------------------------------------------
+      "x_q31" -> (() => SparkEntry.queries("q31_lineage_metrics")(spark, sfDir)),
+      "x_q86" -> (() => SparkEntry.queries("q86_lr_distributed")(spark, sfDir)),
+      "x_q104" -> (() => SparkEntry.queries("q104_tool_profile")(spark, sfDir)),
+      "x_q33" -> (() => SparkEntry.queries("q33_drop_reasons")(spark, sfDir)),
+      "x_q16" -> (() => SparkEntry.queries("q16_minhash_pairs")(spark, sfDir)),
+      "x_q03" -> (() => SparkEntry.queries("q03_top_customers")(spark, sfDir)),
+      "x_q92" -> (() => SparkEntry.queries("q92_conv_gate")(spark, sfDir)),
+      "x_q97" -> (() => SparkEntry.queries("q97_cross_turn")(spark, sfDir)),
+      "x_q88" -> (() => SparkEntry.queries("q88_conv_repair")(spark, sfDir)),
       // --- q96 pack stage on a fake manifest-shaped input --------------
       "sft_pack_full" -> (() => SparkEntry.queries("q96_sft_pack")(spark, sfDir))
     )

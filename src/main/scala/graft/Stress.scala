@@ -368,6 +368,17 @@ object Stress {
         .head()
       (row.getLong(0), row.getLong(1), row.getLong(2))
     }
+    // FORCED over-budget tier (broadcastMaxRows = 0): both joins degrade to
+    // fixed-width-key shuffles — the r4-verdict #1 degrade path. Witnesses
+    // must match the broadcast tier exactly.
+    val ((bfShFams, bfShConvs, bfShDepth), bfShSec) = timed {
+      val row = graft.transcript.BranchFamilies.families(spark,
+        graft.transcript.BranchFamilies.inject(bigTurns),
+        broadcastMaxRows = 0L)
+        .agg(count(lit(1)), sum(col("n_convs")), sum(col("shared_depth")))
+        .head()
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    }
 
     // two-pass Misra-Gries frequent bigrams (phi = 1e-4 → 10k counters)
     val (hhRows, hhSec) = timed {
@@ -410,6 +421,7 @@ object Stress {
         f""""tool_profile":{"sec":$tpSec%.1f,"calls":$tpCalls,"errors":$tpErrors,"pct_sum":$tpPctSum},""" +
         f""""role_grammar":{"sec":$rgSec%.1f,"transitions":$rgTrans,"illegal":$rgIllegal},""" +
         f""""branch_families":{"sec":$bfSec%.1f,"families":$bfFams,"convs":$bfConvs,"depth_sum":$bfDepth},""" +
+        f""""branch_families_shuffle":{"sec":$bfShSec%.1f,"families":$bfShFams,"convs":$bfShConvs,"depth_sum":$bfShDepth},""" +
         f""""frequent_ngrams":{"sec":$hhSec%.1f,"rows":$hhRows}}"""
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_STRESS_OUT", "stress_out.json")

@@ -64,23 +64,33 @@ object Classifier {
     val bytes = text.getBytes(StandardCharsets.UTF_8)
     val n = bytes.length - 2
     if (n <= 0) return (Array.empty, Array.empty)
-    val counts = new java.util.TreeMap[Int, Int]()
+    // primitive sort + run-length count (r6: the former TreeMap.merge boxed
+    // every trigram — ~5x the CPU of this path); output is bit-identical:
+    // ascending bucket indices, count/n values
+    val bs = new Array[Int](n)
     var i = 0
     while (i < n) {
       val key = ((bytes(i) & 0xff) << 16) | ((bytes(i + 1) & 0xff) << 8) | (bytes(i + 2) & 0xff)
-      val b = java.lang.Math.floorMod(mix64(seed ^ key), nBuckets.toLong).toInt
-      counts.merge(b, 1, Integer.sum)
+      bs(i) = java.lang.Math.floorMod(mix64(seed ^ key), nBuckets.toLong).toInt
       i += 1
     }
-    val ks = new Array[Int](counts.size)
-    val vs = new Array[Double](counts.size)
-    val it = counts.entrySet().iterator()
+    java.util.Arrays.sort(bs)
+    var distinct = 1
+    i = 1
+    while (i < n) { if (bs(i) != bs(i - 1)) distinct += 1; i += 1 }
+    val ks = new Array[Int](distinct)
+    val vs = new Array[Double](distinct)
     var j = 0
-    while (it.hasNext) {
-      val e = it.next()
-      ks(j) = e.getKey
-      vs(j) = e.getValue.toDouble / n
-      j += 1
+    var runStart = 0
+    i = 1
+    while (i <= n) {
+      if (i == n || bs(i) != bs(runStart)) {
+        ks(j) = bs(runStart)
+        vs(j) = (i - runStart).toDouble / n
+        j += 1
+        runStart = i
+      }
+      i += 1
     }
     (ks, vs)
   }
@@ -170,17 +180,25 @@ object Classifier {
     val nB = cfg.nBuckets
     val data = labeled.select(col("text"), col("label").cast("int"))
       .as[(String, Int)]
-    val nDocs = data.count()
+    // r6: featurize ONCE and pin the sparse vectors — the former shape
+    // re-ran corrupt lineage + featurize on every epoch AND the df pass
+    // (epochs+1 full featurize passes); the vectors round-trip exactly
+    // through the pin (binary rows), so the gradient arithmetic is
+    // bit-identical
+    val feats = graft.run.Materialize.pin(
+      data.map { case (text, y) =>
+        val (ks, vs) = featurize(if (text == null) "" else text, nB, seed)
+        (ks, vs, y)
+      }.toDF("ks", "vs", "y"))
+    val featsDs = feats.as[(Array[Int], Array[Double], Int)]
+    val nDocs = feats.count()
     require(nDocs > 0, "empty training set")
 
     // document frequency per bucket, once: exact Long counts (featurize
     // emits each bucket once per doc), the preconditioner's denominator
     val df = new Array[Long](nB + 1)
-    data
-      .flatMap { case (text, _) =>
-        featurize(if (text == null) "" else text, nB, seed)._1
-      }
-      .toDF("bucket")
+    feats
+      .select(explode(col("ks")).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("c"))
       .collect()
       .foreach(r => df(r.getInt(0)) = r.getLong(1))
@@ -191,9 +209,8 @@ object Classifier {
     var e = 0
     while (e < cfg.epochs) {
       val wB = spark.sparkContext.broadcast((w.clone(), b))
-      val grads = data
-        .flatMap { case (text, y) =>
-          val (ks, vs) = featurize(if (text == null) "" else text, nB, seed)
+      val grads = featsDs
+        .flatMap { case (ks, vs, y) =>
           val (ww, bb) = wB.value
           var z = bb
           var i = 0
@@ -226,6 +243,7 @@ object Classifier {
       b -= cfg.lr * (g(nB).toDouble / 1e6 / df(nB).toDouble)
       e += 1
     }
+    feats.unpersist(false)
     Model(w, b, nB, seed)
   }
 

@@ -52,16 +52,21 @@ object Materialize {
     * recompute path, so a released pin that is re-read fails loudly.
     * Returns the number of pins released. */
   def releaseAll(spark: org.apache.spark.sql.SparkSession): Int = {
-    val l = livePins.remove(spark.sparkContext)
-    if (l == null) 0
-    else {
-      var n = 0
-      l.forEach { rdd =>
-        try { rdd.unpersist(blocking = false); n += 1 }
-        catch { case _: Throwable => () }
-      }
-      n
+    // snapshot under the same monitor track() appends under — iterating the
+    // live ArrayList outside it raced a concurrent pin() on multi-threaded
+    // drivers (ADVICE r5: ConcurrentModificationException / missed
+    // unpersist)
+    val snapshot = livePins.synchronized {
+      val l = livePins.remove(spark.sparkContext)
+      if (l == null) Nil
+      else scala.jdk.CollectionConverters.ListHasAsScala(l).asScala.toList
     }
+    var n = 0
+    snapshot.foreach { rdd =>
+      try { rdd.unpersist(blocking = false); n += 1 }
+      catch { case _: Throwable => () }
+    }
+    n
   }
 
   private def track(sc: org.apache.spark.SparkContext, df: DataFrame): Unit =

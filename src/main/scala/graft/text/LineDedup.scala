@@ -25,9 +25,10 @@ import graft.run.Materialize
   *      hash set, then group BY LINE STRING (hash collisions resolved
   *      exactly: a collided-but-unique string gets count 1 and is kept)
   *      computing count and keeper = min(struct(doc_id, pos)).
-  *   3. instances join decisions back; non-candidates are kept by
-  *      construction; documents reassemble with one groupBy(doc_id) using
-  *      array_sort over (pos, line) structs.
+  *   3. non-keeper instances (duplicate-mass-bounded) fold into one
+  *      drop-position-set row per affected doc; every document is rebuilt
+  *      IN PLACE by filtering its own split by index — document text never
+  *      exchanges.
   * Mega-duplicate lines ("Sign in") hit only the aggregations (partial agg
   * absorbs the skew) and one AQE-skew-splittable join.
   *
@@ -51,7 +52,9 @@ object LineDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      minLineLen: Int = 15
+      minLineLen: Int = 15,
+      dupHashBroadcastMax: Long = DupHashBroadcastMax,
+      dropSetBroadcastMax: Long = DropSetBroadcastMax
   ): DataFrame = {
     val lines = docs
       .where(col(textCol).isNotNull)
@@ -67,7 +70,7 @@ object LineDedup {
         .where(col("c") > 1)
         .select("h"))
     val semiSide =
-      if (dupHashes.count() <= DupHashBroadcastMax) broadcast(dupHashes)
+      if (dupHashes.count() <= dupHashBroadcastMax) broadcast(dupHashes)
       else dupHashes.hint("shuffle_hash")
 
     // pass 2: only the duplicate (+ hash-collision) mass shuffles as
@@ -102,7 +105,7 @@ object LineDedup {
       drops.groupBy(idCol)
         .agg(collect_set(col("pos")).as("_droppos")))
     val dropSide =
-      if (dropSets.count() <= DropSetBroadcastMax) broadcast(dropSets)
+      if (dropSets.count() <= dropSetBroadcastMax) broadcast(dropSets)
       else dropSets
     Materialize.pin(
       docs.select(col(idCol), col(textCol))

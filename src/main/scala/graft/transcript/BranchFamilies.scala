@@ -76,7 +76,10 @@ object BranchFamilies {
     * is a count on the pinned table (the KnScorer pattern). */
   val BroadcastMaxRows: Long = 1L << 20
 
-  def families(spark: SparkSession, turns: DataFrame): DataFrame = {
+  def families(
+      spark: SparkSession,
+      turns: DataFrame,
+      broadcastMaxRows: Long = BroadcastMaxRows): DataFrame = {
     import graft.run.Materialize
     // 128-bit per-turn keys (r4-verdict task: family identity must survive
     // 10^12-turn birthday collisions): the (xxhash64(text),
@@ -113,7 +116,7 @@ object BranchFamilies {
     // counting fam re-runs only the tiny rollup over the pinned prefix
     // table, so no second pin is needed
     val famSide =
-      if (fam.count() <= BroadcastMaxRows) broadcast(fam) else fam
+      if (fam.count() <= broadcastMaxRows) broadcast(fam) else fam
 
     // family attributes RIDE the membership table so the family rollup is
     // never joined back at the end (the old plan's extra join + pin)
@@ -122,7 +125,7 @@ object BranchFamilies {
         .select(col("conv_id"), col("family_id"), col("n_convs"),
           col("pref_len"), col("max_conv")))
     val membSide =
-      if (memb.count() <= BroadcastMaxRows) broadcast(memb) else memb
+      if (memb.count() <= broadcastMaxRows) broadcast(memb) else memb
 
     // depth pass: join FIRST on the raw trace, hash after — member turns
     // only pay the reverse+hash, non-members never do

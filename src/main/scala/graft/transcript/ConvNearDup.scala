@@ -56,6 +56,10 @@ object ConvNearDup {
       tau: Double = 0.5,
       maxBucket: Int = 64)
 
+  /** Row budget for broadcasting the hot (stop-)shingle set (32-char md5
+    * hex strings → ≤ ~100 MB relation). */
+  val HotBroadcastMax: Long = 1L << 20
+
   /** Deterministic near-copy injection: conversations with cv%17==3 are
     * unioned back under `conv_id || "-dup"`, turns at ti%11==7 suffixed
     * with " (edited)". */
@@ -96,16 +100,28 @@ object ConvNearDup {
         md5(concat_ws("", names: _*).cast("binary")).as("sh"))
       .distinct()
       .localCheckpoint(true) // three consumers: sizes, index, pair join
+    var hotRef: Option[DataFrame] = None
     try {
       val sizes = shingles.groupBy("conv_id").agg(count(lit(1)).as("n"))
       // stop-shingle cap: conversational boilerplate shared by more than
-      // maxBucket conversations is pruned BEFORE the self-join
-      val rare = shingles
+      // maxBucket conversations is pruned BEFORE the self-join. r6: the
+      // cap is applied by ANTI-joining the HOT set (df > maxBucket — a
+      // handful of boilerplate shingles) instead of inner-joining the RARE
+      // set (≈ every shingle): same set algebra, but the build side is
+      // tiny and broadcasts, so the pinned shingle table is filtered
+      // map-side instead of paying a full extra exchange.
+      val hot = shingles
         .groupBy("sh")
         .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= cfg.maxBucket)
+        .filter(col("df") > cfg.maxBucket)
         .select("sh")
-      val indexed = shingles.join(rare, Seq("sh"))
+        .localCheckpoint(true)
+      hotRef = Some(hot)
+      // probed broadcast (the TurnDedup pattern): a corpus whose boilerplate
+      // TYPE count itself explodes degrades to the shuffle anti-join
+      val hotSide =
+        if (hot.count() <= HotBroadcastMax) broadcast(hot) else hot
+      val indexed = shingles.join(hotSide, Seq("sh"), "left_anti")
       val co = indexed.as("a")
         .join(indexed.as("b"), Seq("sh"))
         .filter(col("a.conv_id") < col("b.conv_id"))
@@ -126,7 +142,10 @@ object ConvNearDup {
       // so the caller's orderBy/collect does not re-run the self-join,
       // then release the shingle blocks
       out.localCheckpoint(true)
-    } finally shingles.unpersist(false)
+    } finally {
+      shingles.unpersist(false)
+      hotRef.foreach(_.unpersist(false))
+    }
   }
 
   /** DuckDB oracle over the committed raw dump: injection, lead-window

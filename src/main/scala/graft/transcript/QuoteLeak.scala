@@ -51,6 +51,8 @@ object QuoteLeak {
       .withColumn("_rk",
         row_number().over(Window.orderBy("bench_id")) - 1L)
     val nB = ranked.count()
+    require(nB > 0,
+      "benchmark table is empty — the rank modulus needs at least one item")
     val cv = expr("cast(substring(conv_id, 6) as bigint)")
     val hit = cv % 13 === 9
     turns

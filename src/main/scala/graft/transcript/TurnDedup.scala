@@ -45,7 +45,8 @@ object TurnDedup {
   def dedup(
       spark: SparkSession,
       turns: DataFrame,
-      minLen: Int = 15
+      minLen: Int = 15,
+      dupHashBroadcastMax: Long = DupHashBroadcastMax
   ): DataFrame = {
     val base = turns.select("conv_id", "turn_idx", "text")
     val cand = base.where(length(col("text")) >= minLen)
@@ -60,7 +61,7 @@ object TurnDedup {
 
     // pass 2: only the duplicate mass shuffles as strings
     val decisions = cand
-      .join(semiSide(dupHashes),
+      .join(semiSide(dupHashes, dupHashBroadcastMax),
         xxhash64(col("text")) === col("h"), "left_semi")
       .groupBy("text")
       .agg(count(lit(1)).as("_n_occ"),
@@ -88,8 +89,8 @@ object TurnDedup {
   /** Pass-2 build side under the budget probe: broadcast when the pinned
     * duplicate-hash set is small (count is metadata-cheap on the pinned
     * blocks), shuffle tier otherwise — scale-adaptive, never a constant. */
-  private def semiSide(dupHashes: DataFrame): DataFrame =
-    if (dupHashes.count() <= DupHashBroadcastMax) broadcast(dupHashes)
+  private def semiSide(dupHashes: DataFrame, budget: Long): DataFrame =
+    if (dupHashes.count() <= budget) broadcast(dupHashes)
     else dupHashes.hint("shuffle_hash")
 
   /** DROPPED turns only — (conv_id, turn_idx) of every non-keeper instance
@@ -102,7 +103,8 @@ object TurnDedup {
   def drops(
       spark: SparkSession,
       turns: DataFrame,
-      minLen: Int = 15
+      minLen: Int = 15,
+      dupHashBroadcastMax: Long = DupHashBroadcastMax
   ): DataFrame = {
     val cand = turns.select("conv_id", "turn_idx", "text")
       .where(length(col("text")) >= minLen)
@@ -115,7 +117,7 @@ object TurnDedup {
     // duplicate + hash-collision mass only (small); pinned because it is
     // read twice (decision agg + instance join)
     val mass = Materialize.pin(
-      cand.join(semiSide(dupHashes),
+      cand.join(semiSide(dupHashes, dupHashBroadcastMax),
         xxhash64(col("text")) === col("h"), "left_semi"))
     val decisions = mass
       .groupBy("text")

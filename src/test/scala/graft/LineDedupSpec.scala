@@ -46,6 +46,20 @@ class LineDedupSpec extends AnyFunSuite with SparkTestBase {
       (1L, null, 0), (2L, "", 0), (3L, "some ending newline\n\n", 0)))
   }
 
+  test("r6 tiers: forced shuffle/plain-join budgets reproduce the default") {
+    val docs = (0L until 40L).map { i =>
+      (i, s"shared boilerplate line number ${i % 3}\nunique tail $i words")
+    }
+    val a = LineDedup.dedup(spark, docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Int)].collect()
+    val b = LineDedup.dedup(spark, docs.toDF("doc_id", "text"),
+      "doc_id", "text", dupHashBroadcastMax = 0L, dropSetBroadcastMax = 0L)
+      .orderBy("doc_id").as[(Long, String, Int)].collect()
+    assert(a === b)
+    assert(a.count(_._3 > 0) === 37, "all but the 3 keepers lose a line")
+  }
+
   test("keeper is (doc_id, pos)-minimal regardless of input partitioning") {
     val docs = (0L until 60L).map { i =>
       (i, s"shared boilerplate line number ${i % 5}\nunique tail $i words")

@@ -20,6 +20,28 @@ class TranscriptOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---- TurnDedup --------------------------------------------------------
 
+  test("turn dedup r6: drops() == dedup().filter(!keep); tiers identical") {
+    val t = synthTurnsMs(120)
+    val scrub = t.select("conv_id", "turn_idx", "text")
+    val fromDedup = TurnDedup.dedup(spark, scrub)
+      .filter(!org.apache.spark.sql.functions.col("keep"))
+      .select("conv_id", "turn_idx")
+      .as[(String, Int)].collect().sorted
+    val fromDrops = TurnDedup.drops(spark, scrub)
+      .as[(String, Int)].collect().sorted
+    assert(fromDrops === fromDedup)
+    assert(fromDrops.nonEmpty, "the generator emits cross-turn repeats")
+    // forced over-budget (shuffle) tier is count- and content-identical
+    val shuffleTier = TurnDedup.drops(spark, scrub, dupHashBroadcastMax = 0L)
+      .as[(String, Int)].collect().sorted
+    assert(shuffleTier === fromDrops)
+    val dedupShuffle = TurnDedup.dedup(spark, scrub, dupHashBroadcastMax = 0L)
+      .orderBy("conv_id", "turn_idx").collect()
+    val dedupBroadcast = TurnDedup.dedup(spark, scrub)
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(dedupShuffle === dedupBroadcast)
+  }
+
   test("turn dedup: first occurrence in (conv_id, turn_idx) order wins") {
     val rows = Seq(
       ("a1", 0, "user", "please review the attached proposal", "", 1000L),

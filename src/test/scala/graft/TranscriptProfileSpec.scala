@@ -172,6 +172,14 @@ class TranscriptProfileSpec extends AnyFunSuite with SparkTestBase {
     assert(f5.getAs[Long]("shared_depth") === 1L)
   }
 
+  test("branch families r6: forced shuffle tier matches the broadcast tier") {
+    val t = BranchFamilies.inject(synthTurnsMs(200))
+    val bc = BranchFamilies.families(spark, t).collect()
+    val sh = BranchFamilies.families(spark, t, broadcastMaxRows = 0L).collect()
+    assert(sh === bc)
+    assert(bc.nonEmpty)
+  }
+
   test("branch families: injected template openers form 4-member families") {
     // 400 convs -> cv%10==7 gives 40 templated convs in 10 blocks of 4;
     // every generator conversation has >= 5 turns so pref_len is always 3
