@@ -574,17 +574,20 @@ object SparkEntry {
     // Unique lines never shuffle as strings (hash prefilter).
     "q74_line_dedup" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
-      val arr = split(col("text"), " ")
       // r6: pin the wrapped line structure — LineDedup reads its input in
       // three subtrees (pass-1 hashes, duplicate mass, rebuild) and the
       // wrap transform (split + transform + array_join) cost ~0.5 s per
       // evaluation at sf0.1; materializing it once keeps the timed work on
-      // the dedup operator (production's input is a table scan anyway)
-      val wrapped = graft.run.Materialize.pin(d.select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), size(arr) - 1, lit(4)),
-            i => array_join(slice(arr, i + 1, lit(4)), " ")),
-          "\n").as("text")))
+      // the dedup operator (production's input is a table scan anyway).
+      // The token array is a LAYERED column (the q85 lesson): inlining it
+      // makes the CodegenFallback lambda re-split the text per output line.
+      val wrapped = graft.run.Materialize.pin(d
+        .withColumn("_arr", split(col("text"), " "))
+        .select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(0), size(col("_arr")) - 1, lit(4)),
+              i => array_join(slice(col("_arr"), i + 1, lit(4)), " ")),
+            "\n").as("text")))
       graft.text.LineDedup.dedup(s, wrapped, "doc_id", "text")
         .orderBy("doc_id")
     }),
@@ -607,19 +610,23 @@ object SparkEntry {
     // natural corpus — which has no verbatim n-gram repeats — exercises
     // the dup-n-gram and dup-line branches at oracle level.
     "q78_repetition" -> ((s, dir) => {
+      // r6: injection + token array layered into sequential projections
+      // (the q85 lesson — the inlined tree re-evaluated the injected text
+      // per output line inside the CodegenFallback lambda)
       val raw = docs(s, dir).select("doc_id", "text")
       val toks = split(col("text"), " ")
       val head12 = array_join(slice(toks, 1, 12), " ")
-      val d = raw.select(col("doc_id"),
-        when(col("doc_id") % 7 === 0,
-          concat_ws(" ", col("text"), head12, head12))
-          .otherwise(col("text")).as("text"))
-      val arr = split(col("text"), " ")
-      val wrapped = d.select(col("doc_id"),
-        array_join(
-          transform(sequence(lit(0), size(arr) - 1, lit(4)),
-            i => array_join(slice(arr, i + 1, lit(4)), " ")),
-          "\n").as("text"))
+      val wrapped = raw
+        .withColumn("_inj",
+          when(col("doc_id") % 7 === 0,
+            concat_ws(" ", col("text"), head12, head12))
+            .otherwise(col("text")))
+        .withColumn("_arr", split(col("_inj"), " "))
+        .select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(0), size(col("_arr")) - 1, lit(4)),
+              i => array_join(slice(col("_arr"), i + 1, lit(4)), " ")),
+            "\n").as("text"))
       graft.quality.Repetition(s, wrapped, "text").orderBy("doc_id")
     }),
 
@@ -633,24 +640,26 @@ object SparkEntry {
     // brace, every 17th a javascript line (the line-drop rule). All-
     // string/integer contract, one zero-shuffle map pass.
     "q81_c4_line_filters" -> ((s, dir) => {
+      // r6: injection + token array layered (the q85 lesson)
       val raw = docs(s, dir).select("doc_id", "text")
-      val injected = raw.select(col("doc_id"),
-        when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" Lorem IPSUM dolor")))
-          .when(col("doc_id") % 13 === 0,
-            concat(col("text"), lit(" some {code} block")))
-          .otherwise(col("text")).as("text"))
-      val arr = split(col("text"), " ")
-      val lined = injected.select(col("doc_id"),
-        concat(
-          array_join(
-            transform(sequence(lit(0), size(arr) - 1, lit(4)),
-              i => concat(array_join(slice(arr, i + 1, lit(4)), " "),
-                when(pmod(i, lit(8)) === 0, lit(".")).otherwise(lit("")))),
-            "\n"),
-          when(col("doc_id") % 17 === 0,
-            lit("\nPlease enable javascript right now.")).otherwise(lit("")))
-          .as("text"))
+      val lined = raw
+        .withColumn("_inj",
+          when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" Lorem IPSUM dolor")))
+            .when(col("doc_id") % 13 === 0,
+              concat(col("text"), lit(" some {code} block")))
+            .otherwise(col("text")))
+        .withColumn("_arr", split(col("_inj"), " "))
+        .select(col("doc_id"),
+          concat(
+            array_join(
+              transform(sequence(lit(0), size(col("_arr")) - 1, lit(4)),
+                i => concat(array_join(slice(col("_arr"), i + 1, lit(4)), " "),
+                  when(pmod(i, lit(8)) === 0, lit(".")).otherwise(lit("")))),
+              "\n"),
+            when(col("doc_id") % 17 === 0,
+              lit("\nPlease enable javascript right now.")).otherwise(lit("")))
+            .as("text"))
       graft.quality.LineFilters(s, lined, "text").orderBy("doc_id")
     }),
 
@@ -767,6 +776,13 @@ object SparkEntry {
     // %29 a bullet on every line; %31 an ellipsis on every line, else
     // %41 on the last line only.
     "q85_rpv2_signals" -> ((s, dir) => {
+      // r6: the injection chain is LAYERED into sequential projections —
+      // inlining it as one nested expression tree made every higher-order
+      // lambda (CodegenFallback, no subexpression elimination) re-evaluate
+      // the whole upstream chain per ARRAY ELEMENT (slice(arr, i, 4)
+      // re-split the fully injected text for each of ~19 output lines), and
+      // the duplicated subtrees blew the optimizer's tree walk up too.
+      // Values are identical; each layer now evaluates once per row.
       val raw = docs(s, dir).select("doc_id", "text")
       val toks = split(col("text"), " ")
       val t1 = when(col("doc_id") % 17 === 0,
@@ -774,32 +790,41 @@ object SparkEntry {
         .when(col("doc_id") % 23 === 0,
           lit("7 49 343 2401 7 49 343 2401 16807"))
         .otherwise(col("text"))
-      val t2 = when(col("doc_id") % 19 === 0, upper(t1))
-        .when(col("doc_id") % 5 === 0,
-          concat(t1, lit(" "),
-            upper(concat_ws(" ", element_at(toks, 1), element_at(toks, 2)))))
-        .otherwise(t1)
-      val t3 = when(col("doc_id") % 7 === 0,
-        concat(t2, lit(" 404 5050"))).otherwise(t2)
-      val t4 = when(col("doc_id") % 13 === 0,
-        concat(t3, lit(" blockedalpha blockedbeta blockedalpha")))
-        .otherwise(t3)
-      val t5 = when(col("doc_id") % 11 === 0,
-        concat(lit("• "), t4)).otherwise(t4)
-      val arr = split(t5, " ")
-      val wrapped = array_join(
-        transform(sequence(lit(0), size(arr) - 1, lit(4)),
-          i => array_join(slice(arr, i + 1, lit(4)), " ")), "\n")
-      val lined = when(col("doc_id") % 29 === 0,
-          array_join(transform(split(wrapped, "\n", -1),
-            l => concat(lit("• "), l)), "\n"))
-        .otherwise(wrapped)
-      val lined2 = when(col("doc_id") % 31 === 0,
-          array_join(transform(split(lined, "\n", -1),
-            l => concat(l, lit(" ..."))), "\n"))
-        .when(col("doc_id") % 41 === 0, concat(lined, lit(" ...")))
-        .otherwise(lined)
-      val d = raw.select(col("doc_id"), lined2.as("text"))
+      val staged = raw
+        .withColumn("_t1", t1)
+        .withColumn("_t2",
+          when(col("doc_id") % 19 === 0, upper(col("_t1")))
+            .when(col("doc_id") % 5 === 0,
+              concat(col("_t1"), lit(" "),
+                upper(concat_ws(" ",
+                  element_at(toks, 1), element_at(toks, 2)))))
+            .otherwise(col("_t1")))
+        .withColumn("_t3",
+          when(col("doc_id") % 7 === 0,
+            concat(col("_t2"), lit(" 404 5050"))).otherwise(col("_t2")))
+        .withColumn("_t4",
+          when(col("doc_id") % 13 === 0,
+            concat(col("_t3"), lit(" blockedalpha blockedbeta blockedalpha")))
+            .otherwise(col("_t3")))
+        .withColumn("_t5",
+          when(col("doc_id") % 11 === 0,
+            concat(lit("• "), col("_t4"))).otherwise(col("_t4")))
+        .withColumn("_arr", split(col("_t5"), " "))
+        .withColumn("_wrapped", array_join(
+          transform(sequence(lit(0), size(col("_arr")) - 1, lit(4)),
+            i => array_join(slice(col("_arr"), i + 1, lit(4)), " ")), "\n"))
+        .withColumn("_lined",
+          when(col("doc_id") % 29 === 0,
+            array_join(transform(split(col("_wrapped"), "\n", -1),
+              l => concat(lit("• "), l)), "\n"))
+            .otherwise(col("_wrapped")))
+        .withColumn("_lined2",
+          when(col("doc_id") % 31 === 0,
+            array_join(transform(split(col("_lined"), "\n", -1),
+              l => concat(l, lit(" ..."))), "\n"))
+            .when(col("doc_id") % 41 === 0, concat(col("_lined"), lit(" ...")))
+            .otherwise(col("_lined")))
+      val d = staged.select(col("doc_id"), col("_lined2").as("text"))
       graft.quality.RpSignals(s, d, "text",
         Set("blockedalpha", "blockedbeta")).orderBy("doc_id")
     }),
