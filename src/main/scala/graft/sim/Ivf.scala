@@ -49,12 +49,21 @@ object Ivf {
       .collect()
       .map(_._2)
     require(sample.nonEmpty, "empty corpus")
-    val dim = sample.head.length
+    Index(lloyd(sample, k, iterations))
+  }
 
-    // init: first k DISTINCT sample points in hash order — duplicated
-    // embeddings (common pre-dedup) in the first k slots would create
-    // identical centroids, and the strict '>' assignment starves the
-    // higher-indexed copy forever (a permanently dead list)
+  /** Driver-side deterministic Lloyd kernel over an in-order sample —
+    * extracted (r6) so [[graft.dedup.SemDedup]]'s depth-2 re-cluster of
+    * over-cap clusters runs the EXACT same machinery on per-cluster
+    * samples. Init: first k DISTINCT sample points in input order —
+    * duplicated embeddings (common pre-dedup) in the first k slots would
+    * create identical centroids, and the strict '>' assignment starves the
+    * higher-indexed copy forever (a permanently dead list). */
+  private[graft] def lloyd(
+      sample: Array[Array[Float]],
+      k: Int,
+      iterations: Int): Array[Array[Float]] = {
+    val dim = sample.head.length
     var centroids = {
       val seen = scala.collection.mutable.LinkedHashSet.empty[Seq[Float]]
       val out = scala.collection.mutable.ArrayBuffer.empty[Array[Float]]
@@ -92,7 +101,7 @@ object Ivf {
       }.toArray
       it += 1
     }
-    Index(centroids)
+    centroids
   }
 
   /** Assign each corpus vector to its coarse list. */

@@ -88,9 +88,14 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
     df.unpersist()
   }
 
-  test("over-cap cluster splits into deterministic sub-cells; within-cell dups still cut") {
+  test("over-cap cluster re-clusters into sub-cells; duplicate recall kept") {
     val df = corpus(groups = 4, copies = 8).cache()
-    // maxPairwise=5 forces every 8-member cluster into ceil(8/5)=2 cells
+    // maxPairwise=5 forces every 8-member cluster into ceil(8/5)=2 cells.
+    // r6: over-cap clusters sub-cell by centroid-cos VALUE thresholds
+    // instead of hash-splitting — identical vectors have identical
+    // cosines, so the value cut provably co-locates each duplicate group
+    // (the old hash split scattered them: recall was the documented
+    // ~per-cell loss; now it is exact here).
     val out1 = SemDedup.dedup(spark, df, k = 4, eps = 0.98, maxPairwise = 5)
       .as[(Long, Int, Long, Boolean, Double)].collect().sortBy(_._1)
     val out2 = SemDedup.dedup(spark, df, k = 4, eps = 0.98, maxPairwise = 5)
@@ -101,13 +106,27 @@ class SemDedupSpec extends AnyFunSuite with SparkTestBase {
       assert(ms.map(_._1 / 100).distinct.length === 1)
       assert(ms.count(_._4) === 1)
     }
-    // emitted groups per true group == distinct non-empty hash cells its
-    // members land in (the documented recall tradeoff, nothing worse)
-    val expectedGroups = (0 until 4).map { g =>
-      (0 until 8).map(c =>
+    // full recall for the byte-identical groups: exactly the 4 true groups
+    assert(out1.map(_._3).distinct.length === 4)
+    df.unpersist()
+  }
+
+  test("hash-split fallback (maxReclustered = 0) is the old deterministic tier") {
+    val df = corpus(groups = 3, copies = 6).cache()
+    val a = SemDedup.dedup(spark, df, k = 3, eps = 0.98, maxPairwise = 4,
+      maxReclustered = 0)
+      .as[(Long, Int, Long, Boolean, Double)].collect().sortBy(_._1)
+    val b = SemDedup.dedup(spark, df, k = 3, eps = 0.98, maxPairwise = 4,
+      maxReclustered = 0)
+      .as[(Long, Int, Long, Boolean, Double)].collect().sortBy(_._1)
+    assert(a.toSeq === b.toSeq, "fallback tier must be deterministic")
+    // the fallback keeps the documented hash-split recall: emitted groups ==
+    // distinct non-empty hash cells each true group's members land in
+    val expectedGroups = (0 until 3).map { g =>
+      (0 until 6).map(c =>
         java.lang.Math.floorMod(mix64(17L ^ (g * 100 + c)), 2L)).distinct.size
     }.sum
-    assert(out1.map(_._3).distinct.length === expectedGroups)
+    assert(a.map(_._3).distinct.length === expectedGroups)
     df.unpersist()
   }
 
