@@ -112,6 +112,85 @@ object BenchExtra {
           graft.text.SubstrDedup.Config(k = 25, minCount = 2), None)
       }),
       "cap_full" -> (() => SparkEntry.queries("q59_capstone_manifest")(spark, sfDir)),
+      // --- q59 phase timing: replicate the composition with per-phase
+      // wall clocks (each phase ends at a pin/action barrier, so the
+      // printed deltas are real job time, not lazy-plan time) ------------
+      "cap_phases" -> (() => {
+        def t[A](name: String)(f: => A): A = {
+          val t0 = System.nanoTime()
+          val r = f
+          System.err.println(f"[bx]   phase $name%-12s ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+          r
+        }
+        val obsExact = org.apache.spark.sql.Observation()
+        val obsDd = org.apache.spark.sql.Observation()
+        val obsSub = org.apache.spark.sql.Observation()
+        val obsCl = org.apache.spark.sql.Observation()
+        val wordsOf = (c: org.apache.spark.sql.Column) =>
+          when(c.isNull || length(trim(c)) === 0, 0)
+            .otherwise(size(filter(split(trim(c), "\\s+"), x => length(x) > 0)))
+        val d0 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        val exact = t("exact") {
+          val minIds = d0
+            .groupBy(md5(coalesce(col("text"), lit(""))).as("h"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select("doc_id")
+          graft.run.Materialize.pin(d0.join(minIds, Seq("doc_id"), "left_semi")
+            .observe(obsExact, count(lit(1)).as("n")))
+        }
+        val reps59 = t("pairs+cc") {
+          val pairs = graft.dedup.NgramJaccard
+            .similarPairs(spark, exact.select(col("doc_id").as("id"), col("text")),
+              n = 2, tau = 0.5)
+            .select(col("id_a").as("src"), col("id_b").as("dst"))
+          graft.dedup.DupGroups
+            .components(spark, pairs, exact.select(col("doc_id").as("id")))
+            .filter(col("keep")).select(col("id").as("doc_id"))
+        }
+        val dd = t("dd-pin") {
+          graft.run.Materialize.pin(exact.join(reps59, Seq("doc_id"), "left_semi")
+            .observe(obsDd, count(lit(1)).as("n")))
+        }
+        val sd = t("substr") {
+          val sd0 = graft.text.SubstrDedup.dedup(spark, dd, "doc_id", "text",
+            graft.text.SubstrDedup.Config(k = 25, minCount = 2), Some(obsSub))
+          sd0.select(col("doc_id"), col("cleaned").as("text"), col("source"))
+            .withColumn("n_chars", length(col("text")))
+        }
+        val cl = t("decon-pin") {
+          val bench = sd.filter(pmod(col("doc_id"), lit(41)) === 0).select("text")
+          val dirty = graft.dedup.Decontaminate
+            .contaminated(spark, sd, bench, "doc_id", "text", n = 3)
+            .select(col("doc_id"))
+          graft.run.Materialize.pin(sd.join(dirty, Seq("doc_id"), "left_anti")
+            .observe(obsCl, count(lit(1)).as("n")))
+        }
+        val weights = t("weights") {
+          graft.sample.Mixture.weights(cl, col("source"), col("n_chars"), alpha = 0.5)
+        }
+        val inter = t("interleave") {
+          graft.sample.Interleave
+            .byWeight(spark, cl, col("source"), col("doc_id"), weights)
+            .withColumn("n_tokens", wordsOf(col("text")))
+        }
+        t("pack+manifest") {
+          val packed = graft.operators.Pack.contiguousScalable(spark,
+            inter, Seq("source"), "interleave_rank", "n_tokens", budget = 256L)
+          def oc(o: org.apache.spark.sql.Observation): Long =
+            o.get("n").asInstanceOf[Long]
+          packed.groupBy("source", "bin")
+            .agg(count(lit(1)).as("n_docs"),
+              sum(col("n_tokens")).as("sum_tokens"),
+              min(col("interleave_rank")).as("min_rank"))
+            .withColumn("n_exact", lit(oc(obsExact)))
+            .withColumn("n_dedup", lit(oc(obsDd)))
+            .withColumn("n_substr", lit(obsSub.get("n_substr").asInstanceOf[Long]))
+            .withColumn("n_clean", lit(oc(obsCl)))
+            .orderBy("source", "bin")
+            .localCheckpoint(true)
+        }
+      }),
       // --- other heavies -----------------------------------------------
       "x_q31" -> (() => SparkEntry.queries("q31_lineage_metrics")(spark, sfDir)),
       "x_q86" -> (() => SparkEntry.queries("q86_lr_distributed")(spark, sfDir)),
@@ -137,7 +216,9 @@ object BenchExtra {
         try { force(mk()) } catch {
           case e: Throwable => System.err.println(s"[bx] $name FAILED: $e")
         }
-        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bx]   rep${rep + 1} $name%-22s $dt%7.3f s")
+        best = math.min(best, dt)
         graft.run.Materialize.releaseAll(spark)
         System.gc()
         rep += 1

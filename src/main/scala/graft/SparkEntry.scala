@@ -1476,10 +1476,16 @@ object SparkEntry {
         .contaminated(s, sd, bench, "doc_id", "text", n = 3)
         .select(col("doc_id"))
       val obsCl = org.apache.spark.sql.Observation()
-      // the clean-stage count rides the Mixture weights aggregation (the
-      // next full traversal of cl) — no extra job
-      val cl = sd.join(dirty, Seq("doc_id"), "left_anti")
-        .observe(obsCl, count(lit(1)).as("n"))
+      // PINNED (round 6, guide §2.4/§5): the decontamination subtree
+      // (corpus n-gram explode + probe join + anti join) is otherwise
+      // re-evaluated by EVERY downstream traversal of cl — the Mixture
+      // weights aggregation, the GroupedRank range-boundary sampling AND
+      // its pin job each re-ran it (3 full evaluations, measured in
+      // BenchExtra as the cap_full-vs-stage-sum gap). The stage count
+      // rides the pin job itself via observe — still no extra job.
+      val cl = graft.run.Materialize.pin(
+        sd.join(dirty, Seq("doc_id"), "left_anti")
+          .observe(obsCl, count(lit(1)).as("n")))
       // stages 5-7: mixture → interleave → pack
       val weights = graft.sample.Mixture
         .weights(cl, col("source"), col("n_chars"), alpha = 0.5)
@@ -1512,6 +1518,7 @@ object SparkEntry {
       exact.unpersist(false)
       dd.unpersist(false)
       sd0.unpersist(false)
+      cl.unpersist(false)
       out
     }),
 

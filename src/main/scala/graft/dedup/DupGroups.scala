@@ -53,16 +53,21 @@ object DupGroups {
   ): (DataFrame, Int) = {
     val u = col("u"); val v = col("v")
 
-    // normalize: undirected (u > v), no self-loops, distinct
+    // normalize: undirected (u > v), no self-loops, distinct. The exact
+    // (count, xor-of-edge-hashes) signature RIDES the materialization via
+    // observe (round 6) — the separate edgeSignature job per checkpoint
+    // cost one barrier per round plus one up front.
+    var eObs = org.apache.spark.sql.Observation()
     var e = edges
       .select(
         greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .where(u =!= v)
       .distinct()
+      .observe(eObs, signatureAggs.head, signatureAggs.tail: _*)
       .localCheckpoint(true)
 
-    var sig = edgeSignature(e)
+    var sig = observedSignature(eObs)
 
     // Near-dup pair graphs are sparse relative to the corpus (edges ~
     // duplicate docs, not all docs): under the budget (~32 MB at the
@@ -127,14 +132,16 @@ object DupGroups {
         .where(v =!= col("m"))
         .select(v.as("u"), col("m").as("v"))
       val perNode = smins.select(u, col("m").as("v"))
+      eObs = org.apache.spark.sql.Observation()
       e = perEdge
         .union(perNode)
         .where(col("u") =!= col("v"))
         .distinct()
+        .observe(eObs, signatureAggs.head, signatureAggs.tail: _*)
         .localCheckpoint(true)
       large.unpersist(false) // consumed by the small-star materialization
 
-      val next = edgeSignature(e)
+      val next = observedSignature(eObs)
       converged = next == sig
       sig = next
       rounds += 1
@@ -154,17 +161,20 @@ object DupGroups {
     (members.union(roots).distinct(), rounds)
   }
 
-  /** Exact edge-multiset signature for convergence detection: one
-    * count + xor-of-hashes aggregate, collision-safe in practice (64-bit
-    * xxhash over distinct-ed edges) and one narrow job per round. */
-  private def edgeSignature(e: DataFrame): (Long, Long) = {
-    val r = e.agg(
-      count(lit(1)).as("n"),
-      coalesce(
-        // BIT_XOR aggregate over a 64-bit edge hash
-        expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
-      .head()
-    (r.getLong(0), r.getLong(1))
+  /** Exact edge-multiset signature for convergence detection: count +
+    * xor-of-hashes, collision-safe in practice (64-bit xxhash over
+    * distinct-ed edges). Attached to each round's checkpoint job via
+    * observe — zero extra jobs. */
+  private def signatureAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n"),
+    coalesce(
+      // BIT_XOR aggregate over a 64-bit edge hash
+      expr("bit_xor(xxhash64(u, v))"), lit(0L)).as("x"))
+
+  private def observedSignature(
+      obs: org.apache.spark.sql.Observation): (Long, Long) = {
+    val m = obs.get
+    (m("n").asInstanceOf[Long], m("x").asInstanceOf[Long])
   }
 
   /** Per-document dedup decision over a vertex universe: columns

@@ -79,20 +79,25 @@ object SpanDecontaminate {
     val benchWins = Materialize.pin(
       benchmark.select(col(benchIdCol), explode(winUdf(col(textCol))).as("w")))
     val probesDf = benchWins.select("w").distinct()
-    val nProbes = probesDf.count()
+    // ONE stats job carries both budget guards (count + char mass), still
+    // BEFORE any collect; the probe hashes are then derived DRIVER-side
+    // from the collected strings (≤ maxProbeChars by the guard) instead of
+    // paying a third and fourth distinct-evaluation job (round 6 — the
+    // old shape cost 4 sequential jobs over the same tiny distinct)
+    val statsRow = probesDf
+      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L))).head
+    val nProbes = statsRow.getLong(0)
     require(nProbes <= cfg.maxProbes,
       s"$nProbes distinct probe windows exceed maxProbes=${cfg.maxProbes} " +
         "— raise k or split the benchmark set")
-    val sumChars = probesDf
-      .agg(coalesce(sum(length(col("w"))), lit(0L))).head.getLong(0)
+    val sumChars = statsRow.getLong(1)
     require(sumChars <= cfg.maxProbeChars,
       s"$sumChars probe chars exceed maxProbeChars=${cfg.maxProbeChars}")
 
-    val hashUdf = udf((w: String) => SubstrDedup.windowHashes(w, k)(0))
-    val hashArr = probesDf.select(hashUdf(col("w"))).as[Long].collect()
+    val probes = probesDf.as[String].collect()
+    val hashArr = probes.map(w => SubstrDedup.windowHashes(w, k)(0))
     java.util.Arrays.sort(hashArr)
     val hashB = spark.sparkContext.broadcast(hashArr)
-    val probes = probesDf.as[String].collect()
     val probeSet = new java.util.HashSet[String](probes.length * 2)
     probes.foreach(probeSet.add)
     val probeB = spark.sparkContext.broadcast(probeSet)
@@ -118,9 +123,13 @@ object SpanDecontaminate {
         out.asScala.toArray
       }
     }
-    val foundDf = Materialize.pin(docs
+    // consumed exactly once by the report join below — left LAZY so the
+    // corpus pass, the found-distinct and the scoring join all run inside
+    // the single report materialization job (pinning it separately cost a
+    // whole extra job + block round-trip for a probe-bounded table)
+    val foundDf = docs
       .select(explode(foundUdf(col(textCol))).as("w"))
-      .distinct())
+      .distinct()
     val report = Materialize.pin(
       benchWins
         .join(foundDf.withColumnRenamed("w", "_fw"),
@@ -131,7 +140,6 @@ object SpanDecontaminate {
     hashB.destroy()
     probeB.destroy()
     benchWins.unpersist(false)
-    foundDf.unpersist(false)
     report
   }
 
@@ -162,25 +170,36 @@ object SpanDecontaminate {
     }
     val probesDf = Materialize.pin(
       benchmark.select(explode(winUdf(col(textCol))).as("w")).distinct())
-    val nProbes = probesDf.count()
+    // ONE stats job carries both guards (round 6 — count, hash collect and
+    // char-mass sum were three sequential jobs over the same pinned table)
+    val statsRow = probesDf
+      .agg(count(lit(1)), coalesce(sum(length(col("w"))), lit(0L))).head
+    val nProbes = statsRow.getLong(0)
     require(nProbes <= cfg.maxProbes,
       s"$nProbes distinct probe windows exceed maxProbes=${cfg.maxProbes} " +
         "— raise k or split the benchmark set")
+    val sumChars = statsRow.getLong(1)
+    val inBudget = sumChars <= cfg.maxProbeChars
 
     // hash prefilter (always broadcast: 8 bytes/probe — 80 MB at the cap);
-    // sorted primitive array, probed once per corpus character
-    val hashUdf = udf((w: String) => SubstrDedup.windowHashes(w, k)(0))
-    val hashArr = probesDf.select(hashUdf(col("w"))).as[Long].collect()
+    // sorted primitive array, probed once per corpus character. In budget
+    // the hashes derive DRIVER-side from the one collected string array;
+    // over budget the strings never touch the driver and the hashes come
+    // from their own (8-byte-rows) collect.
+    val probes: Array[String] =
+      if (inBudget) probesDf.as[String].collect() else Array.empty
+    val hashArr =
+      if (inBudget) probes.map(w => SubstrDedup.windowHashes(w, k)(0))
+      else {
+        val hashUdf = udf((w: String) => SubstrDedup.windowHashes(w, k)(0))
+        probesDf.select(hashUdf(col("w"))).as[Long].collect()
+      }
     java.util.Arrays.sort(hashArr)
     val hashB = spark.sparkContext.broadcast(hashArr)
 
-    val sumChars = probesDf
-      .agg(coalesce(sum(length(col("w"))), lit(0L))).head.getLong(0)
-
     val result =
-      if (sumChars <= cfg.maxProbeChars) {
+      if (inBudget) {
         // SMALL TIER: driver HashSet broadcast, one narrow corpus pass
-        val probes = probesDf.as[String].collect()
         val probeSet = new java.util.HashSet[String](probes.length * 2)
         probes.foreach(probeSet.add)
         val probeB = spark.sparkContext.broadcast(probeSet)

@@ -161,13 +161,18 @@ object SubstrDedup {
     // runs as a COUNT before anything is collected — a pathological corpus
     // must die with the designed error naming k/minCount, not an
     // OutOfMemoryError halfway through materializing the driver array.
-    val freqDf = Materialize.pin( // counted, then collected — one aggregation
+    // the cardinality guard RIDES the pin job via observe (round 6 — a
+    // separate count() job over the pinned aggregate cost a full barrier
+    // per invocation); still checked before anything is collected
+    val freqObs = Observation()
+    val freqDf = Materialize.pin(
       docs
         .select(explode(hashesUdf(col(textCol))).as("h"))
         .groupBy("h").count()
         .filter(col("count") >= minCount)
-        .select("h"))
-    val nFreq = freqDf.count()
+        .select("h")
+        .observe(freqObs, count(lit(1)).as("n")))
+    val nFreq = freqObs.get("n").asInstanceOf[Long]
     require(nFreq <= cfg.maxConfirmed,
       s"$nFreq frequent window hashes exceed maxConfirmed=" +
         s"${cfg.maxConfirmed} — raise k or minCount for this corpus")
@@ -196,18 +201,20 @@ object SubstrDedup {
         out.toArray
       }
     }
+    // byte-aware budget for the DRIVER set, checked BEFORE any collect —
+    // the pass-1 cardinality guard alone would admit a string collect ~20x
+    // the hash collect's bytes (k=30 Strings in a HashSet are ~150 B/entry).
+    // Rides the pin job via observe, like the pass-1 guard.
+    val confObs = Observation()
     val confirmedDf = Materialize.pin(
       docs
         .select(explode(candUdf(col(textCol))).as("w"))
         .groupBy("w").count()
         .filter(col("count") >= minCount)
-        .select("w"))
-    // byte-aware budget for the DRIVER set, checked BEFORE any collect —
-    // the pass-1 cardinality guard alone would admit a string collect ~20x
-    // the hash collect's bytes (k=30 Strings in a HashSet are ~150 B/entry)
-    val sumChars = confirmedDf
-      .agg(coalesce(sum(length(col("w"))), lit(0L)).as("c"))
-      .head.getLong(0)
+        .select("w")
+        .observe(confObs,
+          coalesce(sum(length(col("w"))), lit(0L)).as("c")))
+    val sumChars = confObs.get("c").asInstanceOf[Long]
     val inBudget = sumChars <= cfg.maxConfirmedChars
 
     val selected =

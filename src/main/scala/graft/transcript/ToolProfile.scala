@@ -69,20 +69,27 @@ object ToolProfile {
 
   def profile(spark: SparkSession, turns: DataFrame): DataFrame = {
     val w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    val calls = turns
-      .select("conv_id", "turn_idx", "role", "tool", "text", "ts_ms")
+    // The error flag is computed BEFORE the conv_id exchange so text never
+    // shuffles (guide §2.3 "project before the exchange" — the lag window
+    // only reads ts_ms), and the tool-call table is PINNED so the exchange
+    // + window run once for the base rollup AND the latency histogram
+    // (guide §2.4 — the two aggregations previously re-evaluated the whole
+    // input subtree each).
+    val calls = graft.run.Materialize.pin(turns
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("tool"),
+        when(col("text").startsWith("ERROR:"), 1L).otherwise(0L).as("_err"),
+        col("ts_ms"))
       .repartition(col("conv_id"))
       .withColumn("_lat", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
       .filter(col("role") === "tool" && col("_lat").isNotNull)
-      .select(col("conv_id"), col("tool"), col("text"), col("_lat"))
+      .select(col("conv_id"), col("tool"), col("_err"), col("_lat")))
 
     val base = calls
       .groupBy("tool")
       .agg(
         count(lit(1)).as("n_calls"),
         count_distinct(col("conv_id")).as("n_convs"),
-        sum(when(col("text").startsWith("ERROR:"), 1L).otherwise(0L))
-          .as("n_errors"),
+        sum(col("_err")).as("n_errors"),
         max(col("_lat")).as("max_lat_ms"))
 
     // exact discrete percentiles from the latency histogram
@@ -105,10 +112,15 @@ object ToolProfile {
         min(when(col("prev") < k95 && k95 <= col("cum"), col("lat")))
           .as("p95_lat_ms"))
 
-    base.join(pct, "tool")
-      .select("tool", "n_calls", "n_convs", "n_errors",
-        "p50_lat_ms", "p95_lat_ms", "max_lat_ms")
-      .orderBy("tool")
+    // the profile is |tools| rows — pin it eagerly so the calls pin can be
+    // released here instead of leaking past the query boundary
+    val out = graft.run.Materialize.pin(
+      base.join(pct, "tool")
+        .select("tool", "n_calls", "n_convs", "n_errors",
+          "p50_lat_ms", "p95_lat_ms", "max_lat_ms")
+        .orderBy("tool"))
+    calls.unpersist(false)
+    out
   }
 
   /** DuckDB oracle over the committed raw dump: injection, lag window,
