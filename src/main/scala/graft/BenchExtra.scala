@@ -65,6 +65,10 @@ object BenchExtra {
       "turndedup_ordered" -> (() =>
         graft.transcript.TurnDedup.dedup(spark, turnsMs())
           .orderBy("conv_id", "turn_idx")),
+      "turndedup_pinned" -> (() =>
+        graft.run.Materialize.pin(
+          graft.transcript.TurnDedup.dedup(spark, turnsMs()))
+          .orderBy("conv_id", "turn_idx")),
       // --- q74 ---------------------------------------------------------
       "line_dedup" -> (() => SparkEntry.queries("q74_line_dedup")(spark, sfDir)),
       "line_wrap_only" -> (() => {

@@ -93,7 +93,14 @@ object Materialize {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.SparkContext, String]())
 
-  /** Materialize `df` under the session's pinning policy (see object doc). */
+  /** Materialize `df` under the session's pinning policy (see object doc).
+    *
+    * LIFECYCLE CONTRACT (ADVICE r5): every pin taken here is released by
+    * the next [[releaseAll]] — harnesses call that at query boundaries.
+    * A long-lived/memoized DataFrame (session-staged inputs, cross-query
+    * memos) must therefore NEVER go through pin(): build it with a direct
+    * `localCheckpoint(true)` (as [[graft.SparkEntry]]'s `staged` does) so
+    * the position-blind drain cannot destroy it mid-session. */
   def pin(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val dir = spark.conf.getOption(ConfKey).map(_.trim).filter(_.nonEmpty)
